@@ -1,0 +1,141 @@
+"""TF1-semantics image resize (align_corners=False, half_pixel_centers=False).
+
+The reference model family (see reference ``scripts/training/keras_layers.py``
+UpscaleLayer, which calls ``tf.compat.v1.image.resize_bilinear`` /
+``resize_nearest_neighbor`` with ``align_corners=False,
+half_pixel_centers=False``) was trained with the *legacy* TF1 sampling grid:
+
+    src = dst * (in_size / out_size)
+
+i.e. NO half-pixel shift.  Using any modern resize (jax.image.resize uses
+half-pixel centers) would shift every upscaled frame by a fraction of a pixel
+and break fidelity with the trained weights, compounding through the
+recurrent warp loop.
+
+Two paths are provided:
+
+- ``upscale_bilinear`` / ``upscale_nearest``: integer-factor upscale fast
+  path.  For scale ``s`` the source position of output pixel ``s*i + r`` is
+  ``i + r/s``; the interpolation weights depend only on the phase ``r``, so
+  the whole op is a fixed linear combination of the input and its
+  edge-clamped shift, expanded via broadcasting -- no gathers, pure VPU work
+  that XLA fuses with neighbours.
+- ``resize_bilinear`` / ``resize_nearest``: general sizes via per-axis
+  gather with trace-time-constant index/weight vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _edge_pad_hw(x: jnp.ndarray) -> jnp.ndarray:
+    """Pad H and W of NHWC ``x`` by one trailing edge-clamped row/col."""
+    x = jnp.concatenate([x, x[:, -1:, :, :]], axis=1)
+    x = jnp.concatenate([x, x[:, :, -1:, :]], axis=2)
+    return x
+
+
+def upscale_bilinear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Bilinear x``scale`` upscale, TF1 legacy grid, edge clamped.
+
+    Parameters
+    ----------
+    x : (N, H, W, C) array
+    scale : int upscale factor
+
+    Returns
+    -------
+    (N, H*scale, W*scale, C) array, same dtype as ``x`` (float compute).
+    """
+    n, h, w, c = x.shape
+    s = int(scale)
+    if s == 1:
+        return x
+    dtype = x.dtype
+    xp = _edge_pad_hw(x)  # (N, H+1, W+1, C)
+
+    x00 = xp[:, :h, :w, :]
+    x01 = xp[:, :h, 1:, :]
+    x10 = xp[:, 1:, :w, :]
+    x11 = xp[:, 1:, 1:, :]
+
+    # Phase weights: output (s*i + ry, s*j + rx) samples (i + ry/s, j + rx/s).
+    ry = (np.arange(s, dtype=np.float32) / s).reshape(s, 1, 1)
+    rx = (np.arange(s, dtype=np.float32) / s).reshape(1, s, 1)
+    w00 = jnp.asarray(((1 - ry) * (1 - rx)), dtype=dtype)  # (s, s, 1)
+    w01 = jnp.asarray(((1 - ry) * rx), dtype=dtype)
+    w10 = jnp.asarray((ry * (1 - rx)), dtype=dtype)
+    w11 = jnp.asarray((ry * rx), dtype=dtype)
+
+    # (N, H, W, C) -> (N, H, 1, W, 1, C) and broadcast phases to
+    # (N, H, s, W, s, C), then collapse to (N, H*s, W*s, C).
+    def bcast(t):
+        return t[:, :, None, :, None, :]
+
+    out = (
+        bcast(x00) * w00[None, None, :, None, :, :]
+        + bcast(x01) * w01[None, None, :, None, :, :]
+        + bcast(x10) * w10[None, None, :, None, :, :]
+        + bcast(x11) * w11[None, None, :, None, :, :]
+    )
+    return out.reshape(n, h * s, w * s, c)
+
+
+def upscale_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Nearest-neighbour x``scale`` upscale (TF1 legacy grid).
+
+    With align_corners=False, half_pixel_centers=False the source index of
+    output pixel ``y`` is ``floor(y / s)`` -- i.e. plain pixel replication.
+    """
+    s = int(scale)
+    if s == 1:
+        return x
+    n, h, w, c = x.shape
+    out = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (n, h, s, w, s, c)
+    )
+    return out.reshape(n, h * s, w * s, c)
+
+
+def _tf1_indices(out_size: int, in_size: int):
+    """Legacy-grid source indices/weights for one axis (trace-time numpy)."""
+    scale = in_size / out_size
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.floor(src).astype(np.int32)
+    lo = np.minimum(lo, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - np.floor(src)).astype(np.float32)
+    return lo, hi, frac
+
+
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """General-size TF1 bilinear resize (align_corners=F, half_pixel=F)."""
+    n, h, w, c = x.shape
+    if out_h == h * (out_h // h) and out_h % h == 0 and out_w == w * (
+        out_w // w
+    ) and out_w % w == 0 and out_h // h == out_w // w:
+        return upscale_bilinear(x, out_h // h)
+    dtype = x.dtype
+    ylo, yhi, yf = _tf1_indices(out_h, h)
+    xlo, xhi, xf = _tf1_indices(out_w, w)
+    yf = jnp.asarray(yf, dtype=dtype).reshape(1, out_h, 1, 1)
+    xf = jnp.asarray(xf, dtype=dtype).reshape(1, 1, out_w, 1)
+
+    top = jnp.take(x, ylo, axis=1)
+    bot = jnp.take(x, yhi, axis=1)
+    row = top + (bot - top) * yf
+    left = jnp.take(row, xlo, axis=2)
+    right = jnp.take(row, xhi, axis=2)
+    return left + (right - left) * xf
+
+
+def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """General-size TF1 nearest resize (align_corners=F, half_pixel=F)."""
+    n, h, w, c = x.shape
+    if out_h % h == 0 and out_w % w == 0 and out_h // h == out_w // w:
+        return upscale_nearest(x, out_h // h)
+    ylo, _, _ = _tf1_indices(out_h, h)
+    xlo, _, _ = _tf1_indices(out_w, w)
+    return jnp.take(jnp.take(x, ylo, axis=1), xlo, axis=2)

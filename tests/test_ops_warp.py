@@ -1,0 +1,122 @@
+"""dense_image_warp vs a NumPy oracle implementing the documented tfa
+semantics (floor clamped to [0, size-2], alpha clamped to [0, 1], gather of
+the 4 surrounding corners)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from joshupscale_tpu.ops import dense_image_warp
+
+
+def numpy_dense_image_warp(image, flow):
+    """Straightforward NumPy oracle for the tfa warp semantics."""
+    n, h, w, c = image.shape
+    gy, gx = np.meshgrid(
+        np.arange(h, dtype=flow.dtype),
+        np.arange(w, dtype=flow.dtype),
+        indexing="ij",
+    )
+    qy = gy[None] - flow[..., 0]
+    qx = gx[None] - flow[..., 1]
+
+    fy = np.clip(np.floor(qy), 0, h - 2)
+    fx = np.clip(np.floor(qx), 0, w - 2)
+    ay = np.clip(qy - fy, 0.0, 1.0)[..., None]
+    ax = np.clip(qx - fx, 0.0, 1.0)[..., None]
+    iy = fy.astype(np.int64)
+    ix = fx.astype(np.int64)
+
+    out = np.zeros_like(image)
+    for b in range(n):
+        tl = image[b][iy[b], ix[b]]
+        tr = image[b][iy[b], ix[b] + 1]
+        bl = image[b][iy[b] + 1, ix[b]]
+        br = image[b][iy[b] + 1, ix[b] + 1]
+        top = tl + (tr - tl) * ax[b]
+        bot = bl + (br - bl) * ax[b]
+        out[b] = top + (bot - top) * ay[b]
+    return out
+
+
+@pytest.mark.parametrize("shape", [(1, 8, 8, 3), (2, 12, 20, 3)])
+def test_warp_matches_numpy_oracle(rng, shape):
+    image = rng.standard_normal(shape).astype(np.float32)
+    flow = (rng.standard_normal(shape[:3] + (2,)) * 3).astype(np.float32)
+    ours = np.asarray(dense_image_warp(jnp.asarray(image), jnp.asarray(flow)))
+    ref = numpy_dense_image_warp(image, flow)
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_warp_zero_flow_is_identity(rng):
+    image = rng.standard_normal((1, 9, 7, 3)).astype(np.float32)
+    flow = np.zeros((1, 9, 7, 2), dtype=np.float32)
+    out = np.asarray(dense_image_warp(jnp.asarray(image), jnp.asarray(flow)))
+    np.testing.assert_allclose(out, image, atol=1e-6)
+
+
+def test_warp_edge_clamp(rng):
+    """Large out-of-range flows must clamp to the nearest edge pixel."""
+    image = rng.standard_normal((1, 6, 6, 2)).astype(np.float32)
+    flow = np.full((1, 6, 6, 2), 100.0, dtype=np.float32)  # query << 0
+    out = np.asarray(dense_image_warp(jnp.asarray(image), jnp.asarray(flow)))
+    # Query points are all far above-left of the image -> top-left pixel.
+    expected = np.broadcast_to(image[:, :1, :1, :], out.shape)
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+    flow = np.full((1, 6, 6, 2), -100.0, dtype=np.float32)  # query >> size
+    out = np.asarray(dense_image_warp(jnp.asarray(image), jnp.asarray(flow)))
+    expected = np.broadcast_to(image[:, -1:, -1:, :], out.shape)
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_warp_matches_tf_reference_impl(rng):
+    """Cross-check against a TF implementation of the same formula built
+    from public TF ops (the same construction tfa uses)."""
+    tf = pytest.importorskip("tensorflow")
+    image = rng.standard_normal((2, 10, 14, 3)).astype(np.float32)
+    flow = (rng.standard_normal((2, 10, 14, 2)) * 4).astype(np.float32)
+
+    # TF oracle: grid - flow queries, bilinear gather with clamping.
+    b, h, w, c = image.shape
+    gx, gy = tf.meshgrid(tf.range(w), tf.range(h))
+    grid = tf.cast(tf.stack([gy, gx], axis=2), tf.float32)[None]
+    q = grid - tf.constant(flow)
+    qy, qx = q[..., 0], q[..., 1]
+    fy = tf.clip_by_value(tf.floor(qy), 0.0, float(h - 2))
+    fx = tf.clip_by_value(tf.floor(qx), 0.0, float(w - 2))
+    ay = tf.clip_by_value(qy - fy, 0.0, 1.0)[..., None]
+    ax = tf.clip_by_value(qx - fx, 0.0, 1.0)[..., None]
+    iy = tf.cast(fy, tf.int32)
+    ix = tf.cast(fx, tf.int32)
+
+    def gather(dy, dx):
+        idx = tf.stack([iy + dy, ix + dx], axis=-1)
+        return tf.gather_nd(tf.constant(image), idx, batch_dims=1)
+
+    tl, tr = gather(0, 0), gather(0, 1)
+    bl, br = gather(1, 0), gather(1, 1)
+    top = tl + (tr - tl) * ax
+    bot = bl + (br - bl) * ax
+    ref = (top + (bot - top) * ay).numpy()
+
+    ours = np.asarray(dense_image_warp(jnp.asarray(image), jnp.asarray(flow)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_space_depth_roundtrip_and_tf(rng):
+    from joshupscale_tpu.ops import space_to_depth, depth_to_space
+
+    x = rng.standard_normal((2, 8, 12, 3)).astype(np.float32)
+    s2d = np.asarray(space_to_depth(jnp.asarray(x), 4))
+    back = np.asarray(depth_to_space(jnp.asarray(s2d), 4))
+    np.testing.assert_array_equal(back, x)
+
+    tf = pytest.importorskip("tensorflow")
+    ref = tf.nn.space_to_depth(tf.constant(x), 4).numpy()
+    np.testing.assert_array_equal(s2d, ref)
+
+    y = rng.standard_normal((1, 4, 6, 32)).astype(np.float32)
+    d2s = np.asarray(depth_to_space(jnp.asarray(y), 4))
+    ref = tf.nn.depth_to_space(tf.constant(y), 4).numpy()
+    np.testing.assert_array_equal(d2s, ref)
