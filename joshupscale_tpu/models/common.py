@@ -1,0 +1,90 @@
+"""Shared model building blocks (res blocks, BN state threading).
+
+Parameter trees mirror the reference's Keras layer naming
+(``conv_1``, ``bn_1``, ``block_3_conv_2``; reference
+``scripts/training/models.py`` res_block / get_flow_resnet) so checkpoints
+and the weight importer line up name-for-name.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from joshupscale_tpu.nn.layers import (
+    batch_norm,
+    batch_norm_init,
+    conv2d,
+    conv2d_init,
+    get_activation,
+)
+
+
+class Mutables:
+    """Collects batch-norm moving-stat updates / counters during a traced
+    training forward pass.
+
+    Apply functions call ``mut.bn(params, path, x)``; the trainer merges
+    ``mut.updates`` (dotted-path -> new stats) back into the param tree
+    after the step.  At inference (``training=False``) this is a zero-cost
+    pass-through to the folded-BN path.
+    """
+
+    def __init__(self, training: bool = False):
+        self.training = training
+        self.updates: Dict[str, dict] = {}
+
+    def bn(self, params, path: str, x):
+        if not self.training:
+            return batch_norm(params, x, training=False)
+        y, upd = batch_norm(params, x, training=True)
+        self.updates[path] = upd
+        return y
+
+    def fade_in(self, params, path: str, x):
+        """Counter-ramped fade-in (reference keras_layers.py FadeInLayer)."""
+        counter = params["counter"]
+        period = params["period"]
+        scale = jnp.minimum(
+            counter.astype(jnp.float32) / jnp.maximum(period, 1.0), 1.0
+        )
+        y = x * scale.astype(x.dtype)
+        if self.training:
+            self.updates[path] = {"counter": counter + 1}
+        return y
+
+
+def res_block_init(key, num_filters: int, fade_in_period=None,
+                   dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    params = {
+        "conv_1": conv2d_init(k1, 3, num_filters, num_filters,
+                              use_bias=False, dtype=dtype),
+        "bn_1": batch_norm_init(num_filters, dtype),
+        "conv_2": conv2d_init(k2, 3, num_filters, num_filters,
+                              use_bias=False, dtype=dtype),
+        "bn_2": batch_norm_init(num_filters, dtype),
+    }
+    if fade_in_period is not None:
+        params["fade"] = {
+            "counter": jnp.zeros((), jnp.int64),
+            "period": jnp.asarray(float(fade_in_period), jnp.float32),
+        }
+    return params
+
+
+def res_block_apply(params, x, activation, mut: Mutables, path: str):
+    """conv-bn-act-conv-bn(-fade)-add-act residual block."""
+    act = get_activation(activation)
+    shortcut = x
+    out = conv2d(params["conv_1"], x)
+    out = mut.bn(params["bn_1"], f"{path}.bn_1", out)
+    out = act(out)
+    out = conv2d(params["conv_2"], out)
+    out = mut.bn(params["bn_2"], f"{path}.bn_2", out)
+    if "fade" in params:
+        out = mut.fade_in(params["fade"], f"{path}.fade", out)
+    out = out + shortcut
+    return act(out)

@@ -1,0 +1,104 @@
+"""Generator (resnet architecture).
+
+Capability parity with reference ``scripts/training/models.py``
+get_generator_resnet (:484-595):
+
+- inputs: LR frame (N,H,W,3) + warped previous HR output (N,4H,4W,3)
+- pipeline: concat(frame, space_to_depth4(pre_warp)) -> conv64 ->
+  N res blocks (+ optional fade-in blocks) -> deconv2x 32 -> deconv2x 3 ->
+  tanh -> + TF1-bilinear4(frame) -> clip [-0.5, 0.5]
+- output: (N, 4H, 4W, 3) residual-refined upscale.
+
+TPU-first: both deconvs are 1x1-conv + depth_to_space (exact for kernel 2 /
+stride 2 -- see nn.layers.conv2d_transpose_2x), keeping the whole tail on
+the MXU; the bilinear skip uses the phase-weight upscale (no gathers).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from joshupscale_tpu.models.common import (
+    Mutables,
+    res_block_apply,
+    res_block_init,
+)
+from joshupscale_tpu.nn.layers import (
+    batch_norm_init,
+    conv2d,
+    conv2d_init,
+    conv2d_transpose_2x,
+    conv2d_transpose_2x_init,
+    get_activation,
+)
+from joshupscale_tpu.ops import space_to_depth, upscale_bilinear
+
+
+def generator_resnet_init(
+    key,
+    num_filters: int = 64,
+    num_res_blocks: int = 24,
+    num_fade_in_res_blocks: int = 0,
+    fade_in_period: int = 0,
+    dtype=jnp.float32,
+):
+    total_blocks = num_res_blocks + num_fade_in_res_blocks
+    keys = jax.random.split(key, total_blocks + 3)
+    # Input channels: 3 (frame) + 48 (space_to_depth4 of 3ch pre_warp).
+    params = {
+        "conv_1": conv2d_init(keys[0], 3, 51, num_filters, use_bias=False,
+                              dtype=dtype),
+        "bn_1": batch_norm_init(num_filters, dtype),
+        "conv_trans_1": conv2d_transpose_2x_init(
+            keys[1], num_filters, 32, use_bias=False, dtype=dtype
+        ),
+        "bn_2": batch_norm_init(32, dtype),
+        "conv_trans_2": conv2d_transpose_2x_init(
+            keys[2], 32, 3, use_bias=True, dtype=dtype
+        ),
+    }
+    for i in range(num_res_blocks):
+        params[f"block_{i + 1}"] = res_block_init(
+            keys[3 + i], num_filters, dtype=dtype
+        )
+    for i in range(num_res_blocks, total_blocks):
+        params[f"block_{i + 1}"] = res_block_init(
+            keys[3 + i], num_filters, fade_in_period=fade_in_period,
+            dtype=dtype,
+        )
+    params["_meta"] = {}
+    return params
+
+
+def generator_resnet_apply(
+    params,
+    frame: jnp.ndarray,
+    pre_warp: jnp.ndarray,
+    activation="relu",
+    mut: Optional[Mutables] = None,
+):
+    """Apply the generator: (frame, warped prev HR) -> refined HR frame."""
+    mut = mut or Mutables(False)
+    act = get_activation(activation)
+    num_blocks = sum(1 for k in params if k.startswith("block_"))
+
+    inp = jnp.concatenate(
+        [frame, space_to_depth(pre_warp, 4)], axis=-1
+    )
+    out = conv2d(params["conv_1"], inp)
+    out = mut.bn(params["bn_1"], "bn_1", out)
+    out = act(out)
+    for i in range(num_blocks):
+        name = f"block_{i + 1}"
+        out = res_block_apply(params[name], out, activation, mut, name)
+    out = conv2d_transpose_2x(params["conv_trans_1"], out)
+    out = mut.bn(params["bn_2"], "bn_2", out)
+    out = act(out)
+    out = conv2d_transpose_2x(params["conv_trans_2"], out)
+    out = jnp.tanh(out)
+    upscaled = upscale_bilinear(frame, 4)
+    out = upscaled + out
+    return jnp.clip(out, -0.5, 0.5)

@@ -1,0 +1,194 @@
+"""Recurrent single-frame inference model.
+
+Capability parity with reference ``scripts/training/models.py``
+get_inference_model (:680-829).  Per frame:
+
+    1. pre  = cur/255 - 0.5                       (unless skip_processing)
+    2. optional brightness normalization, optional zero-pad to a
+       flow_pad_factor multiple
+    3. flow = FNet(pre_pad, last_frames...)       -> (N, 4H, 4W, 2)
+    4. unpad flow; pre_warp = dense_warp(pre_gen, flow)
+    5. out_raw = Generator(pre, pre_warp)
+    6. output = u8((out_raw + 0.5) * 255)
+    state' : pre_gen' = out_raw (denormalized),
+             last_frames' = [pre_pad] + last_frames[:-1]   (shift register)
+
+TPU-first: the whole step is one jittable pure function of
+``(params, frame, state)`` -> ``(outputs, state')``.  The runtime jits it
+with the state donated, so XLA aliases state buffers in place of the
+reference's ping-pong TensorRT contexts (reference
+``core/src/tensorrt_backend.cc:247-278``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from joshupscale_tpu.models.common import Mutables
+from joshupscale_tpu.ops import dense_image_warp, postprocess, preprocess
+from joshupscale_tpu.ops.image import brightness as brightness_op
+
+State = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceModel:
+    """Functional recurrent VSR step.
+
+    Attributes
+    ----------
+    flow_apply : callable(params, frames, mut) -> flow
+    generator_apply : callable(params, frame, pre_warp, mut) -> out_raw
+    num_flow_frames : total frames the flow net sees (current + previous).
+    frame_height / frame_width : LR frame dims.
+    flow_pad_factor : pad LR dims to a multiple before the flow net
+        (autoencoder flow nets need pooling-friendly sizes).
+    normalize_brightness : subtract mean luma before flow, re-add after.
+    skip_processing : inputs/outputs stay float (training mode).
+    compute_dtype : activations dtype for the networks (e.g. bfloat16).
+    """
+
+    flow_apply: Callable[..., jnp.ndarray]
+    generator_apply: Callable[..., jnp.ndarray]
+    num_flow_frames: int = 4
+    frame_height: int = 270
+    frame_width: int = 480
+    flow_pad_factor: Optional[int] = None
+    normalize_brightness: bool = False
+    skip_processing: bool = False
+    compute_dtype: Any = jnp.float32
+
+    # -- geometry ----------------------------------------------------------
+
+    @property
+    def padded_height(self) -> int:
+        if self.flow_pad_factor is None:
+            return self.frame_height
+        f = self.flow_pad_factor
+        return ((self.frame_height + f - 1) // f) * f
+
+    @property
+    def padded_width(self) -> int:
+        if self.flow_pad_factor is None:
+            return self.frame_width
+        f = self.flow_pad_factor
+        return ((self.frame_width + f - 1) // f) * f
+
+    @property
+    def num_last_frames(self) -> int:
+        return self.num_flow_frames - 1
+
+    def out_height(self) -> int:
+        return self.frame_height * 4
+
+    def out_width(self) -> int:
+        return self.frame_width * 4
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, batch_size: int = 1, dtype=jnp.float32) -> State:
+        """Zero recurrent state (matches the reference's zero-filled
+        state buffers, reference onnx/inference.py:67-70)."""
+        h, w = self.frame_height, self.frame_width
+        ph, pw = self.padded_height, self.padded_width
+        return {
+            "pre_gen": jnp.zeros((batch_size, h * 4, w * 4, 3), dtype),
+            "last_frames": [
+                jnp.zeros((batch_size, ph, pw, 3), dtype)
+                for _ in range(self.num_last_frames)
+            ],
+        }
+
+    # -- forward -----------------------------------------------------------
+
+    def _pad(self, x: jnp.ndarray) -> jnp.ndarray:
+        ph, pw = self.padded_height, self.padded_width
+        h, w = self.frame_height, self.frame_width
+        if ph == h and pw == w:
+            return x
+        dh, dw = ph - h, pw - w
+        return jnp.pad(
+            x,
+            ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2),
+             (0, 0)),
+        )
+
+    def _unpad_flow(self, flow: jnp.ndarray) -> jnp.ndarray:
+        ph, pw = self.padded_height, self.padded_width
+        h, w = self.frame_height, self.frame_width
+        if ph == h and pw == w:
+            return flow
+        oy = ((ph - h) // 2) * 4
+        ox = ((pw - w) // 2) * 4
+        return flow[:, oy:oy + h * 4, ox:ox + w * 4, :]
+
+    def apply(
+        self,
+        params: Dict[str, Any],
+        cur_frame: jnp.ndarray,
+        state: State,
+        mut: Optional[Mutables] = None,
+    ) -> Tuple[Dict[str, Any], State]:
+        """One recurrent step.
+
+        Parameters
+        ----------
+        params : {"flow": ..., "generator": ...}
+        cur_frame : (N, H, W, 3) uint8 (or float if skip_processing)
+        state : {"pre_gen": (N,4H,4W,3) float, "last_frames": [...]}
+
+        Returns
+        -------
+        (outputs, new_state); outputs holds "output" (uint8, unless
+        skip_processing), "output_denorm", "output_raw", "pre_warp".
+        """
+        mut = mut or Mutables(False)
+        cdt = self.compute_dtype
+
+        if self.skip_processing:
+            pre = cur_frame
+        else:
+            pre = preprocess(cur_frame)
+        pre = pre.astype(cdt)
+
+        cur_pad = pre
+        if self.normalize_brightness:
+            bright = brightness_op(pre)
+            cur_pad = cur_pad - bright
+        cur_pad = self._pad(cur_pad)
+
+        last_frames = [f.astype(cdt) for f in state["last_frames"]]
+        flow = self.flow_apply(params["flow"], [cur_pad] + last_frames,
+                               mut=mut)
+        flow = self._unpad_flow(flow)
+
+        pre_gen = state["pre_gen"].astype(cdt)
+        pre_warp = dense_image_warp(pre_gen, flow)
+        if self.normalize_brightness:
+            pre_warp = pre_warp + bright
+
+        output_raw = self.generator_apply(
+            params["generator"], pre, pre_warp, mut=mut
+        )
+        output_denorm = output_raw
+        if self.normalize_brightness:
+            output_raw = output_raw - bright
+
+        outputs = {
+            "output_denorm": output_denorm.astype(jnp.float32),
+            "output_raw": output_raw.astype(jnp.float32),
+            "pre_warp": pre_warp.astype(jnp.float32),
+            "flow": flow.astype(jnp.float32),
+        }
+        if not self.skip_processing:
+            outputs["output"] = postprocess(output_denorm)
+
+        new_state = {
+            "pre_gen": output_raw.astype(state["pre_gen"].dtype),
+            "last_frames": [cur_pad.astype(state["last_frames"][0].dtype)]
+            + state["last_frames"][:-1],
+        }
+        return outputs, new_state

@@ -1,0 +1,248 @@
+"""Config-driven model registry.
+
+Parity with reference ``scripts/training/models.py`` MODELS /
+create_models (:1124-1194): YAML configs name models and factories;
+``{model: <name>}`` values cross-reference other entries; ``weights`` loads
+a checkpoint; ``freeze`` marks parameters non-trainable; ``copy_weights``
+copies parameters layer-by-layer from another model where names/shapes
+match.
+
+Each built model is a :class:`BuiltModel` holding the param pytree, a bound
+apply callable, and trainability metadata -- the functional analog of a
+Keras model object.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from joshupscale_tpu.models import discriminator as disc_mod
+from joshupscale_tpu.models import fnet, generator
+from joshupscale_tpu.models import vgg as vgg_mod
+from joshupscale_tpu.models.inference import InferenceModel
+
+
+@dataclasses.dataclass
+class BuiltModel:
+    """A constructed model: params + bound apply + metadata."""
+
+    kind: str
+    params: Any
+    apply: Optional[Callable[..., Any]] = None
+    obj: Any = None  # e.g. InferenceModel
+    trainable: bool = True
+    frozen_paths: tuple = ()
+    config: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def num_params(self) -> int:
+        leaves = jax.tree_util.tree_leaves(self.strip_meta())
+        return int(sum(np.prod(x.shape) for x in leaves))
+
+    def strip_meta(self):
+        return strip_meta(self.params)
+
+
+def strip_meta(tree):
+    """Drop '_meta' entries (static config riding in the param dict)."""
+    if isinstance(tree, dict):
+        return {
+            k: strip_meta(v) for k, v in tree.items() if k != "_meta"
+        }
+    if isinstance(tree, list):
+        return [strip_meta(v) for v in tree]
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# Factories
+
+
+def _build_flow_resnet(key, *, num_inputs=4, num_filters=64,
+                       num_res_blocks=10, activation="relu",
+                       dtype=jnp.float32, **_):
+    params = fnet.flow_resnet_init(
+        key, num_inputs=num_inputs, num_filters=num_filters,
+        num_res_blocks=num_res_blocks, dtype=dtype,
+    )
+    apply = functools.partial(
+        fnet.flow_resnet_apply,
+        activation=activation,
+        num_res_blocks=num_res_blocks,
+    )
+    return BuiltModel(
+        kind="flow-resnet", params=params, apply=apply,
+        config={"num_inputs": num_inputs},
+    )
+
+
+def _build_flow_autoencoder(key, *, num_inputs=4, filters=None,
+                            activation="relu", dtype=jnp.float32, **_):
+    params = fnet.flow_autoencoder_init(
+        key, num_inputs=num_inputs, filters=filters, dtype=dtype
+    )
+    used = list(filters) if filters else list(fnet.DEFAULT_AE_FILTERS)
+    apply = functools.partial(
+        fnet.flow_autoencoder_apply, activation=activation, filters=used
+    )
+    return BuiltModel(
+        kind="flow-autoencoder", params=params, apply=apply,
+        config={"num_inputs": num_inputs},
+    )
+
+
+def _build_generator_resnet(key, *, num_filters=64, num_res_blocks=24,
+                            num_fade_in_res_blocks=0, fade_in_period=0,
+                            activation="relu", dtype=jnp.float32, **_):
+    params = generator.generator_resnet_init(
+        key, num_filters=num_filters, num_res_blocks=num_res_blocks,
+        num_fade_in_res_blocks=num_fade_in_res_blocks,
+        fade_in_period=fade_in_period, dtype=dtype,
+    )
+    apply = functools.partial(
+        generator.generator_resnet_apply, activation=activation
+    )
+    return BuiltModel(kind="generator-resnet", params=params, apply=apply)
+
+
+def _build_discriminator(key, *, crop_size=None, activation="lrelu",
+                         alpha=1.0, dtype=jnp.float32, **_):
+    params = disc_mod.discriminator_init(key, alpha=alpha, dtype=dtype)
+    apply = functools.partial(
+        disc_mod.discriminator_apply, activation=activation
+    )
+    return BuiltModel(
+        kind="discriminator", params=params, apply=apply,
+        config={"crop_size": crop_size},
+    )
+
+
+def _build_vgg(key, *, crop_size=None, out_layers=None, weights=None, **_):
+    params, apply = vgg_mod.build_vgg(key, out_layers=out_layers,
+                                      weights_path=weights)
+    return BuiltModel(kind="vgg", params=params, apply=apply,
+                      trainable=False)
+
+
+def _build_inference(key, *, generator_model: BuiltModel,
+                     flow_model: BuiltModel, skip_processing=True,
+                     frame_height=None, frame_width=None,
+                     flow_pad_factor=None, normalize_brightness=False,
+                     compute_dtype=jnp.float32, **_):
+    model = InferenceModel(
+        flow_apply=flow_model.apply,
+        generator_apply=generator_model.apply,
+        num_flow_frames=flow_model.config.get("num_inputs", 4),
+        frame_height=frame_height or 270,
+        frame_width=frame_width or 480,
+        flow_pad_factor=flow_pad_factor,
+        normalize_brightness=normalize_brightness,
+        skip_processing=skip_processing,
+        compute_dtype=compute_dtype,
+    )
+    params = {
+        "flow": flow_model.params,
+        "generator": generator_model.params,
+    }
+    return BuiltModel(kind="inference", params=params, obj=model,
+                      apply=model.apply)
+
+
+MODELS: Dict[str, Callable[..., BuiltModel]] = {
+    "flow-resnet": _build_flow_resnet,
+    "flow-autoencoder": _build_flow_autoencoder,
+    "generator-resnet": _build_generator_resnet,
+    "discriminator": _build_discriminator,
+    "vgg": _build_vgg,
+    "inference": _build_inference,
+}
+
+
+def register_model(name: str, factory: Callable[..., BuiltModel]) -> None:
+    MODELS[name] = factory
+
+
+# ---------------------------------------------------------------------------
+# Config resolution
+
+
+DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def _copy_matching(dst_tree, src_tree):
+    """Copy leaves from src into dst where paths and shapes match."""
+    if isinstance(dst_tree, dict) and isinstance(src_tree, dict):
+        return {
+            k: (
+                _copy_matching(v, src_tree[k]) if k in src_tree else v
+            )
+            for k, v in dst_tree.items()
+        }
+    if hasattr(dst_tree, "shape") and hasattr(src_tree, "shape"):
+        if dst_tree.shape == src_tree.shape:
+            return src_tree
+    return dst_tree
+
+
+def create_models(config: Dict[str, Any],
+                  seed: int = 0) -> Dict[str, BuiltModel]:
+    """Build all models in a config dict, resolving cross-references.
+
+    Each entry: ``{name: {"name": <factory>, ...kwargs}}``; kwargs of the
+    form ``{"model": other}`` resolve to the other built model.  Supported
+    meta-keys per entry: ``weights`` (npz checkpoint path), ``freeze``
+    (bool or list of dotted paths), ``copy_weights`` (name of the model to
+    copy matching params from).
+    """
+    from joshupscale_tpu.export.importer import load_params_npz
+
+    models: Dict[str, BuiltModel] = {}
+    key = jax.random.PRNGKey(seed)
+    keys = {name: k for name, k in
+            zip(config, jax.random.split(key, max(len(config), 2)))}
+
+    def build(name: str) -> BuiltModel:
+        if name in models:
+            return models[name]
+        args = dict(config[name])
+        model_type = args.pop("name")
+        weights = args.pop("weights", None)
+        freeze = args.pop("freeze", None)
+        copy_weights = args.pop("copy_weights", None)
+        args.pop("copy_variables", None)
+        if "dtype" in args and isinstance(args["dtype"], str):
+            args["dtype"] = DTYPES[args["dtype"]]
+        if "compute_dtype" in args and isinstance(args["compute_dtype"], str):
+            args["compute_dtype"] = DTYPES[args["compute_dtype"]]
+        for arg, val in list(args.items()):
+            if isinstance(val, dict) and "model" in val:
+                args[arg + "_model"] = build(val["model"])
+                del args[arg]
+        if model_type not in MODELS:
+            raise ValueError(f"Unknown model type {model_type}")
+        model = MODELS[model_type](keys[name], **args)
+        if freeze is not None:
+            if isinstance(freeze, list):
+                model.frozen_paths = tuple(freeze)
+            else:
+                model.trainable = not freeze
+        if weights is not None:
+            model.params = load_params_npz(weights, model.params)
+        if copy_weights is not None:
+            src = build(copy_weights)
+            model.params = _copy_matching(model.params, src.params)
+        models[name] = model
+        return model
+
+    for name in config:
+        build(name)
+    return models

@@ -1,0 +1,197 @@
+"""Compiled inference engine with donated on-device recurrent state.
+
+TPU-native analog of the reference C++ runtime
+(``core/src/tensorrt_backend.cc``): where the reference deserializes a
+TensorRT engine, double-buffers two execution contexts and ping-pongs
+state bindings between CUDA-graph launches (:222-278), we jit ONE XLA
+program whose recurrent state arguments are *donated* -- XLA aliases the
+state outputs onto the state inputs, so the recurrence never copies and
+never leaves HBM.  CUDA-graph capture is replaced by XLA's AOT compile;
+the uint8<->float conversion kernels (``cuda_convert.cc.cu``) are fused
+into the program head/tail by XLA.
+
+The engine also provides:
+
+- ``process`` / ``process_async``: one-frame-in/one-frame-out with an
+  in-flight async dispatch queue, so host->HBM transfer of frame t+1
+  overlaps compute of frame t (the reference instead blocks on
+  ``streamSynchronize`` per frame, tensorrt_backend.cc:276).
+- ``process_clip``: offline whole-clip mode, ``lax.scan`` over frames with
+  the state as carry.
+- ``reset``: zero-fills the recurrent state (stream restart).
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from joshupscale_tpu.models.inference import InferenceModel
+
+
+class Engine:
+    """One compiled recurrent-upscale stream (or batch of streams)."""
+
+    def __init__(
+        self,
+        model: InferenceModel,
+        params: Dict[str, Any],
+        batch_size: int = 1,
+        device=None,
+        max_inflight: int = 2,
+    ) -> None:
+        self.model = model
+        self.batch_size = batch_size
+        self.device = device or jax.devices()[0]
+        self.params = jax.device_put(params, self.device)
+        self._max_inflight = max_inflight
+        self._pending = collections.deque()
+
+        # State buffers are donated: XLA aliases output state onto input
+        # state, keeping the recurrence zero-copy in HBM.
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _step(params, frame, state):
+            outputs, new_state = model.apply(params, frame, state)
+            out = outputs.get("output", outputs["output_denorm"])
+            return out, new_state
+
+        self._step = _step
+
+        def _scan_clip(params, frames, state):
+            def body(state, frame):
+                outputs, new_state = model.apply(params, frame, state)
+                out = outputs.get("output", outputs["output_denorm"])
+                return new_state, out
+
+            state, outs = jax.lax.scan(body, state, frames)
+            return outs, state
+
+        self._scan_clip = jax.jit(_scan_clip, donate_argnums=(2,))
+
+        self.state = jax.device_put(
+            model.init_state(batch_size), self.device
+        )
+
+    # -- geometry ----------------------------------------------------------
+
+    @property
+    def input_shape(self):
+        return (self.batch_size, self.model.frame_height,
+                self.model.frame_width, 3)
+
+    @property
+    def output_shape(self):
+        return (self.batch_size, self.model.frame_height * 4,
+                self.model.frame_width * 4, 3)
+
+    # -- streaming ---------------------------------------------------------
+
+    def reset(self) -> None:
+        """Zero the recurrent state (new stream / seek)."""
+        self._drain()
+        self.state = jax.device_put(
+            self.model.init_state(self.batch_size), self.device
+        )
+
+    def process_async(self, frame: np.ndarray):
+        """Dispatch one frame; returns the on-device output array.
+
+        Does not block: the returned jax.Array materializes when the step
+        finishes.  At most ``max_inflight`` dispatches are buffered so the
+        host stays ~1 frame ahead (double buffering) without unbounded
+        queueing.
+        """
+        frame = self._as_input(frame)
+        out, self.state = self._step(self.params, frame, self.state)
+        self._pending.append(out)
+        while len(self._pending) > self._max_inflight:
+            self._pending.popleft().block_until_ready()
+        return out
+
+    def process(self, frame: np.ndarray) -> np.ndarray:
+        """Blocking single-frame upscale: (H, W, 3) or (N, H, W, 3) u8."""
+        squeeze = frame.ndim == 3
+        out = self.process_async(frame)
+        result = np.asarray(out)
+        if squeeze:
+            result = result[0]
+        return result
+
+    def process_clip(self, frames: np.ndarray) -> np.ndarray:
+        """Offline mode: (T, N, H, W, 3) or (T, H, W, 3) -> scan over T."""
+        self._drain()
+        squeeze = frames.ndim == 4
+        if squeeze:
+            frames = frames[:, None]
+        frames = jnp.asarray(frames)
+        outs, self.state = self._scan_clip(self.params, frames, self.state)
+        result = np.asarray(outs)
+        if squeeze:
+            result = result[:, 0]
+        return result
+
+    def _as_input(self, frame: np.ndarray):
+        frame = np.asarray(frame)
+        if frame.ndim == 3:
+            frame = frame[None]
+        if frame.shape != self.input_shape:
+            raise ValueError(
+                f"Invalid frame shape {frame.shape}; expected "
+                f"{self.input_shape}"
+            )
+        return jax.device_put(frame, self.device)
+
+    def _drain(self) -> None:
+        while self._pending:
+            self._pending.popleft().block_until_ready()
+
+    # -- profiling ---------------------------------------------------------
+
+    def benchmark(self, num_frames: int = 120, warmup: int = 16):
+        """Measure per-frame latency (s); returns dict of p50/p99/mean."""
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 256, self.input_shape, dtype=np.uint8)
+        dt = self.model.skip_processing and np.float32 or np.uint8
+        frame = frame.astype(dt)
+        for _ in range(warmup):
+            self.process(frame)
+        times = []
+        for _ in range(num_frames):
+            t0 = time.perf_counter()
+            out = self._step(
+                self.params, jax.device_put(frame, self.device), self.state
+            )
+            out[0].block_until_ready()
+            self.state = out[1]
+            times.append(time.perf_counter() - t0)
+        times = np.asarray(times)
+        return {
+            "p50": float(np.percentile(times, 50)),
+            "p99": float(np.percentile(times, 99)),
+            "mean": float(times.mean()),
+            "fps": float(1.0 / np.percentile(times, 50)) * self.batch_size,
+        }
+
+
+def create_runtime(
+    model_path: str,
+    device: Optional[int] = None,
+    batch_size: int = 1,
+) -> Engine:
+    """Load a serialized model package and build an engine.
+
+    The runtime ABI analog of reference ``core/public/JoshUpscale/core.h``
+    createRuntime(deviceId, modelPath): model packages are directories (or
+    .npz files) produced by ``joshupscale_tpu.export.package``.
+    """
+    from joshupscale_tpu.export.package import load_package
+
+    model, params = load_package(model_path)
+    dev = jax.devices()[device] if device is not None else None
+    return Engine(model, params, batch_size=batch_size, device=dev)

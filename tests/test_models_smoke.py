@@ -1,0 +1,131 @@
+"""Shape/dtype smoke tests for the model zoo and recurrent inference step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from joshupscale_tpu.models import create_models
+
+TINY_CONFIG = {
+    "flow": {
+        "name": "flow-resnet",
+        "num_inputs": 4,
+        "num_filters": 8,
+        "num_res_blocks": 2,
+    },
+    "generator": {
+        "name": "generator-resnet",
+        "num_filters": 8,
+        "num_res_blocks": 2,
+    },
+    "inference": {
+        "name": "inference",
+        "generator": {"model": "generator"},
+        "flow": {"model": "flow"},
+        "skip_processing": False,
+        "frame_height": 16,
+        "frame_width": 20,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def models():
+    return create_models(TINY_CONFIG, seed=0)
+
+
+def test_flow_shapes(models):
+    flow = models["flow"]
+    frames = [jnp.zeros((2, 16, 20, 3)) for _ in range(4)]
+    out = flow.apply(flow.params, frames)
+    assert out.shape == (2, 64, 80, 2)
+
+
+def test_generator_shapes(models):
+    gen = models["generator"]
+    frame = jnp.zeros((2, 16, 20, 3))
+    pre_warp = jnp.zeros((2, 64, 80, 3))
+    out = gen.apply(gen.params, frame, pre_warp)
+    assert out.shape == (2, 64, 80, 3)
+    assert float(jnp.max(out)) <= 0.5 and float(jnp.min(out)) >= -0.5
+
+
+def test_inference_step(models):
+    built = models["inference"]
+    model = built.obj
+    state = model.init_state(batch_size=1)
+    frame = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (1, 16, 20, 3)),
+        dtype=jnp.uint8,
+    )
+    outputs, new_state = model.apply(built.params, frame, state)
+    assert outputs["output"].shape == (1, 64, 80, 3)
+    assert outputs["output"].dtype == jnp.uint8
+    assert outputs["output_raw"].shape == (1, 64, 80, 3)
+    assert new_state["pre_gen"].shape == (1, 64, 80, 3)
+    assert len(new_state["last_frames"]) == 3
+
+    # Shift register: new last_frames[0] must equal the preprocessed frame,
+    # and the older entries shift down.
+    pre = np.asarray(frame, dtype=np.float32) / 255.0 - 0.5
+    np.testing.assert_allclose(
+        np.asarray(new_state["last_frames"][0]), pre, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_state["last_frames"][1]),
+        np.asarray(state["last_frames"][0]),
+    )
+
+
+def test_inference_step_jits_and_state_threads(models):
+    built = models["inference"]
+    model = built.obj
+
+    @jax.jit
+    def step(params, frame, state):
+        return model.apply(params, frame, state)
+
+    state = model.init_state(batch_size=1)
+    rng = np.random.default_rng(1)
+    prev_pre_gen = None
+    for _ in range(3):
+        frame = jnp.asarray(
+            rng.integers(0, 256, (1, 16, 20, 3)), dtype=jnp.uint8
+        )
+        outputs, state = step(built.params, frame, state)
+        # pre_gen state must be the raw output fed forward.
+        np.testing.assert_array_equal(
+            np.asarray(state["pre_gen"]), np.asarray(outputs["output_raw"])
+        )
+        if prev_pre_gen is not None:
+            assert not np.array_equal(
+                np.asarray(state["pre_gen"]), prev_pre_gen
+            )
+        prev_pre_gen = np.asarray(state["pre_gen"])
+
+
+def test_discriminator_shapes():
+    from joshupscale_tpu.models import discriminator_apply, discriminator_init
+
+    params = discriminator_init(jax.random.PRNGKey(0), alpha=0.5)
+    x = jnp.zeros((2, 32, 32, 27))
+    outs = discriminator_apply(params, x)
+    assert len(outs) == 5
+    assert outs[0].shape == (2, 16, 16, 32)
+    assert outs[3].shape == (2, 2, 2, 128)
+    assert outs[4].shape == (2, 2, 2, 1)
+
+
+def test_flow_autoencoder_shapes():
+    from joshupscale_tpu.models import (
+        flow_autoencoder_apply,
+        flow_autoencoder_init,
+    )
+
+    params = flow_autoencoder_init(
+        jax.random.PRNGKey(0), num_inputs=4, filters=[8, 16, 8]
+    )
+    frames = [jnp.zeros((1, 16, 24, 3)) for _ in range(4)]
+    out = flow_autoencoder_apply(params, frames, filters=[8, 16, 8])
+    assert out.shape == (1, 64, 96, 2)
