@@ -22,7 +22,11 @@ import numpy as np
 
 
 def flatten_params(tree, prefix: str = "") -> Dict[str, np.ndarray]:
-    """Flatten a nested param dict to dotted paths (skips '_meta')."""
+    """Flatten a nested param dict to dotted paths (skips '_meta').
+
+    Handles dicts, lists, and tuples/NamedTuples (optax optimizer states),
+    so full train states checkpoint through the same path.
+    """
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
@@ -30,10 +34,12 @@ def flatten_params(tree, prefix: str = "") -> Dict[str, np.ndarray]:
                 continue
             path = f"{prefix}.{k}" if prefix else str(k)
             out.update(flatten_params(v, path))
-    elif isinstance(tree, list):
+    elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             path = f"{prefix}.{i}" if prefix else str(i)
             out.update(flatten_params(v, path))
+    elif tree is None:
+        pass
     else:
         out[prefix] = np.asarray(tree)
     return out
@@ -57,6 +63,17 @@ def unflatten_into(template, flat: Dict[str, np.ndarray], prefix: str = ""):
             unflatten_into(v, flat, f"{prefix}.{i}" if prefix else str(i))
             for i, v in enumerate(template)
         ]
+    if isinstance(template, tuple):
+        items = [
+            unflatten_into(v, flat, f"{prefix}.{i}" if prefix else str(i))
+            for i, v in enumerate(template)
+        ]
+        # Rebuild NamedTuples (optax states) with their own constructor.
+        if hasattr(template, "_fields"):
+            return type(template)(*items)
+        return tuple(items)
+    if template is None:
+        return None
     if prefix in flat:
         arr = np.asarray(flat[prefix])
         if tuple(arr.shape) != tuple(np.shape(template)):

@@ -32,15 +32,24 @@ class Mutables:
     pass-through to the folded-BN path.
     """
 
-    def __init__(self, training: bool = False):
+    def __init__(self, training: bool = False, prefix: str = "",
+                 updates: Dict[str, dict] = None):
         self.training = training
-        self.updates: Dict[str, dict] = {}
+        self.prefix = prefix
+        self.updates: Dict[str, dict] = {} if updates is None else updates
+
+    def scoped(self, prefix: str) -> "Mutables":
+        """View over the same updates dict with a path prefix (so e.g.
+        flow and generator 'bn_1' entries don't collide)."""
+        return Mutables(
+            self.training, f"{self.prefix}{prefix}.", self.updates
+        )
 
     def bn(self, params, path: str, x):
         if not self.training:
             return batch_norm(params, x, training=False)
         y, upd = batch_norm(params, x, training=True)
-        self.updates[path] = upd
+        self.updates[self.prefix + path] = upd
         return y
 
     def fade_in(self, params, path: str, x):
@@ -52,7 +61,7 @@ class Mutables:
         )
         y = x * scale.astype(x.dtype)
         if self.training:
-            self.updates[path] = {"counter": counter + 1}
+            self.updates[self.prefix + path] = {"counter": counter + 1}
         return y
 
 

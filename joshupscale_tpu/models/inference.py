@@ -162,7 +162,7 @@ class InferenceModel:
 
         last_frames = [f.astype(cdt) for f in state["last_frames"]]
         flow = self.flow_apply(params["flow"], [cur_pad] + last_frames,
-                               mut=mut)
+                               mut=mut.scoped("flow"))
         flow = self._unpad_flow(flow)
 
         pre_gen = state["pre_gen"].astype(cdt)
@@ -171,7 +171,7 @@ class InferenceModel:
             pre_warp = pre_warp + bright
 
         output_raw = self.generator_apply(
-            params["generator"], pre, pre_warp, mut=mut
+            params["generator"], pre, pre_warp, mut=mut.scoped("generator")
         )
         output_denorm = output_raw
         if self.normalize_brightness:

@@ -153,6 +153,88 @@ def _build_inference(key, *, generator_model: BuiltModel,
                       apply=model.apply)
 
 
+def _build_frvsr(key, *, flow_model: BuiltModel,
+                 generator_model: BuiltModel,
+                 inference_model: Optional[BuiltModel] = None,
+                 learning_rate=0.0005, normalize_brightness=False,
+                 regularization=None, **_):
+    """FRVSR trainer (reference models.py get_frvsr :879-935)."""
+    from joshupscale_tpu.training.frvsr import FRVSRTrainer
+
+    trainer = FRVSRTrainer(
+        flow_apply=flow_model.apply,
+        generator_apply=generator_model.apply,
+        num_flow_frames=flow_model.config.get("num_inputs", 4),
+        normalize_brightness=normalize_brightness,
+    )
+    params = {
+        "flow": flow_model.params,
+        "generator": generator_model.params,
+    }
+    return BuiltModel(
+        kind="frvsr", params=params, obj=trainer,
+        config={
+            "learning_rate": learning_rate,
+            "regularization": regularization,
+            "inference": inference_model,
+        },
+    )
+
+
+def _build_frvsr_single(key, *, inference_model: BuiltModel,
+                        learning_rate=0.0005, regularization=None, **_):
+    """Single-step FRVSR trainer (reference get_frvsr_single :832-876)."""
+    from joshupscale_tpu.training.frvsr import FRVSRSingleTrainer
+
+    trainer = FRVSRSingleTrainer(model=inference_model.obj)
+    return BuiltModel(
+        kind="frvsr-single", params=inference_model.params, obj=trainer,
+        config={
+            "learning_rate": learning_rate,
+            "regularization": regularization,
+            "inference": inference_model,
+        },
+    )
+
+
+def _build_gan(key, *, flow_model: BuiltModel,
+               generator_model: BuiltModel,
+               discriminator_model: BuiltModel,
+               vgg_model: BuiltModel,
+               inference_model: Optional[BuiltModel] = None,
+               learning_rate=0.0005, normalize_brightness=False,
+               loss_config=None, regularization=None, **_):
+    """GAN trainer (reference models.py get_gan :992-1070)."""
+    from joshupscale_tpu.training.gan import GANTrainer
+
+    cfg_items = tuple(sorted((loss_config or {}).items()))
+    trainer = GANTrainer(
+        flow_apply=flow_model.apply,
+        generator_apply=generator_model.apply,
+        discriminator_apply=discriminator_model.apply,
+        vgg_apply=vgg_model.apply,
+        num_flow_frames=flow_model.config.get("num_inputs", 4),
+        normalize_brightness=normalize_brightness,
+        loss_config=cfg_items,
+    )
+    params = {
+        "gen": {
+            "flow": flow_model.params,
+            "generator": generator_model.params,
+        },
+        "discr": discriminator_model.params,
+        "vgg": vgg_model.params,
+    }
+    return BuiltModel(
+        kind="gan", params=params, obj=trainer,
+        config={
+            "learning_rate": learning_rate,
+            "regularization": regularization,
+            "inference": inference_model,
+        },
+    )
+
+
 MODELS: Dict[str, Callable[..., BuiltModel]] = {
     "flow-resnet": _build_flow_resnet,
     "flow-autoencoder": _build_flow_autoencoder,
@@ -160,6 +242,9 @@ MODELS: Dict[str, Callable[..., BuiltModel]] = {
     "discriminator": _build_discriminator,
     "vgg": _build_vgg,
     "inference": _build_inference,
+    "frvsr": _build_frvsr,
+    "frvsr-single": _build_frvsr_single,
+    "gan": _build_gan,
 }
 
 

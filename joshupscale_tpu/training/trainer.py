@@ -1,0 +1,473 @@
+"""Training harness: jitted steps, data-parallel mesh, checkpoints.
+
+TPU-native replacement for the reference's Keras fit machinery
+(reference ``scripts/training/train_local.py`` + keras_models train_step):
+
+- One jitted train step with params/optimizer-state DONATED (in-place HBM
+  update, no copies).
+- Data parallelism: the batch is sharded over a 1-D mesh axis; params and
+  optimizer state are replicated.  The loss is a global mean, so XLA
+  inserts the gradient psum over ICI automatically -- there is no
+  per-replica loss rescaling (the reference divides by
+  ``num_replicas_in_sync``; that bookkeeping disappears under pjit).
+- GAN discriminator gating runs inside the step as ``lax.cond`` on the
+  t_balance EMA carried in the train state (reference tf.cond :682-691).
+- Checkpoints: flat-npz params + optimizer state + EMA + step, with
+  best/latest retention like the reference's ModelCheckpoint pair
+  (train_local.py:116-129).
+- NaN termination (reference TerminateOnNaN, keras_callbacks.py:111-122)
+  and early stopping (train_local.py:130-136).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from joshupscale_tpu.export.importer import (
+    flatten_params,
+    save_params_npz,
+    unflatten_into,
+)
+from joshupscale_tpu.training.schedules import get_learning_rate
+
+
+# ---------------------------------------------------------------------------
+# Freezing
+
+
+def freeze_mask(params, frozen_paths: Tuple[str, ...], trainable: bool = True):
+    """Pytree of 0/1 multipliers: 0 for frozen subtrees (dotted paths)."""
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {
+                k: walk(v, f"{path}.{k}" if path else str(k))
+                for k, v in tree.items()
+            }
+        if isinstance(tree, list):
+            return [
+                walk(v, f"{path}.{i}" if path else str(i))
+                for i, v in enumerate(tree)
+            ]
+        frozen = (not trainable) or any(
+            path == p or path.startswith(p + ".") for p in frozen_paths
+        )
+        return 0.0 if frozen else 1.0
+
+    return walk(params, "")
+
+
+def apply_mask(grads, mask):
+    return jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+
+
+# ---------------------------------------------------------------------------
+# Batch-norm moving-stat merge
+
+
+def _set_path(tree, parts, stats):
+    if not parts:
+        return {**tree, **stats}
+    head = parts[0]
+    if isinstance(tree, dict):
+        return {
+            **tree,
+            head: _set_path(tree[head], parts[1:], stats),
+        }
+    if isinstance(tree, list):
+        i = int(head)
+        out = list(tree)
+        out[i] = _set_path(tree[i], parts[1:], stats)
+        return out
+    raise KeyError(f"Cannot descend into {type(tree)} at {head}")
+
+
+def merge_bn_updates(params, updates: Dict[str, dict],
+                     strip_prefixes: Tuple[str, ...] = ("",)):
+    """Write collected moving-stat updates back into the param tree.
+
+    ``updates`` maps dotted paths (as recorded by Mutables) to dicts of
+    new stat values.  ``strip_prefixes`` are tried in order; a path whose
+    prefix matches none is ignored (it belongs to another param group).
+    When several updates target the same path (e.g. discriminator real
+    and fake calls), the later entry wins -- one moving-average update
+    per step, matching the order-of-magnitude of the reference's
+    sequential assign_adds.
+    """
+    for path, stats in updates.items():
+        for prefix in strip_prefixes:
+            if prefix and not path.startswith(prefix):
+                continue
+            rel = path[len(prefix):] if prefix else path
+            params = _set_path(params, rel.split("."), stats)
+            break
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Train states
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Single-group state (FRVSR)."""
+
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree(self):
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "step": self.step,
+        }
+
+
+@dataclasses.dataclass
+class GANTrainState:
+    """Two-group state (generator+flow, discriminator) plus EMA gating."""
+
+    gen_params: Any
+    discr_params: Any
+    gen_opt_state: Any
+    discr_opt_state: Any
+    ema: Dict[str, jnp.ndarray]
+    step: jnp.ndarray
+
+    def tree(self):
+        return {
+            "gen_params": self.gen_params,
+            "discr_params": self.discr_params,
+            "gen_opt_state": self.gen_opt_state,
+            "discr_opt_state": self.discr_opt_state,
+            "ema": self.ema,
+            "step": self.step,
+        }
+
+
+def init_train_state(params, optimizer) -> "TrainState":
+    """Fresh FRVSR train state.
+
+    Copies the param arrays: the jitted steps DONATE their state, so a
+    state must own its buffers -- registry BuiltModels share param arrays
+    between trainers (e.g. frvsr and gan reference the same flow tree),
+    and donating shared arrays deletes them under the other trainer.
+    """
+    params = jax.tree_util.tree_map(jnp.array, params)
+    return TrainState(
+        params, optimizer.init(params), jnp.zeros((), jnp.int32)
+    )
+
+
+def init_gan_state(trainer, gen_params, discr_params, gen_optimizer,
+                   discr_optimizer) -> "GANTrainState":
+    """Fresh GAN train state (copies params; see init_train_state)."""
+    gen_params = jax.tree_util.tree_map(jnp.array, gen_params)
+    discr_params = jax.tree_util.tree_map(jnp.array, discr_params)
+    return GANTrainState(
+        gen_params=gen_params,
+        discr_params=discr_params,
+        gen_opt_state=gen_optimizer.init(gen_params),
+        discr_opt_state=discr_optimizer.init(discr_params),
+        ema=trainer.init_ema(),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step builders
+
+
+def make_optimizer(learning_rate=0.0005) -> optax.GradientTransformation:
+    """Adam with Keras defaults (reference compile(): Adam(lr))."""
+    return optax.adam(get_learning_rate(learning_rate), b1=0.9, b2=0.999,
+                      eps=1e-7)
+
+
+def build_frvsr_step(
+    trainer,
+    optimizer: optax.GradientTransformation,
+    mask=None,
+    l2_reg: float = 0.0,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Jitted FRVSR train step: (state, batch, rng) -> (state, metrics)."""
+
+    def step(params, opt_state, step_no, batch, rng):
+        (_, aux), grads = jax.value_and_grad(
+            trainer.loss, has_aux=True
+        )(params, batch, rng, l2_reg)
+        if mask is not None:
+            grads = apply_mask(grads, mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = merge_bn_updates(params, aux["bn_updates"])
+        return params, opt_state, step_no + 1, aux["metrics"]
+
+    jit_kwargs: Dict[str, Any] = {"donate_argnums": (0, 1, 2)}
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        jit_kwargs["in_shardings"] = (repl, repl, repl, data, repl)
+        jit_kwargs["out_shardings"] = (repl, repl, repl, repl)
+    jitted = jax.jit(step, **jit_kwargs)
+
+    def run(state: TrainState, batch, rng):
+        params, opt_state, step_no, metrics = jitted(
+            state.params, state.opt_state, state.step, batch, rng
+        )
+        return TrainState(params, opt_state, step_no), metrics
+
+    return run
+
+
+def build_gan_step(
+    trainer,
+    gen_optimizer: optax.GradientTransformation,
+    discr_optimizer: optax.GradientTransformation,
+    vgg_params,
+    gen_mask=None,
+    discr_mask=None,
+    l2_reg: float = 0.0,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Jitted GAN train step with t_balance-gated discriminator update."""
+    cfg = trainer.config()
+    t1_threshold = cfg["t_balance1_threshold"]
+
+    def step(gen_params, discr_params, gen_opt, discr_opt, ema, step_no,
+             vgg_p, batch, rng):
+        def loss_fn(gp, dp):
+            y = trainer.forward(
+                gp, dp, vgg_p, batch["input"], batch["target"], rng,
+                training=True,
+            )
+            terms = trainer.compute_losses(y, ema, gp, dp, l2_reg)
+            return (
+                (terms["gen_loss"], terms["discr_loss"]),
+                (terms, y["bn_updates"]),
+            )
+
+        # Shared forward, two cotangent pulls (one tape, two losses).
+        (gen_loss, discr_loss), vjp, (terms, bn_updates) = jax.vjp(
+            loss_fn, gen_params, discr_params, has_aux=True
+        )
+        one = jnp.ones_like(gen_loss)
+        zero = jnp.zeros_like(gen_loss)
+        gen_grads = vjp((one, zero))[0]
+        discr_grads = vjp((zero, one))[1]
+        if gen_mask is not None:
+            gen_grads = apply_mask(gen_grads, gen_mask)
+        if discr_mask is not None:
+            discr_grads = apply_mask(discr_grads, discr_mask)
+
+        gen_updates, gen_opt = gen_optimizer.update(
+            gen_grads, gen_opt, gen_params
+        )
+        gen_params = optax.apply_updates(gen_params, gen_updates)
+        gen_params = merge_bn_updates(
+            gen_params, bn_updates, strip_prefixes=("gen.",)
+        )
+
+        ema = trainer.update_ema(
+            ema, terms["t_balance1"], terms["t_balance2"]
+        )
+
+        def train_discr(args):
+            dp, dopt = args
+            updates, dopt = discr_optimizer.update(discr_grads, dopt, dp)
+            dp = optax.apply_updates(dp, updates)
+            return dp, dopt, jnp.int32(1)
+
+        def skip_discr(args):
+            dp, dopt = args
+            return dp, dopt, jnp.int32(0)
+
+        if t1_threshold is not None:
+            discr_params, discr_opt, trained = jax.lax.cond(
+                ema["t_balance1"] < t1_threshold,
+                train_discr,
+                skip_discr,
+                (discr_params, discr_opt),
+            )
+        else:
+            discr_params, discr_opt, trained = train_discr(
+                (discr_params, discr_opt)
+            )
+        ema = {**ema, "discr_steps": ema["discr_steps"] + trained}
+        discr_params = merge_bn_updates(
+            discr_params, bn_updates,
+            strip_prefixes=("discr.real.", "discr.fake."),
+        )
+
+        metrics = {
+            k: v
+            for k, v in terms.items()
+            if k not in ("gen_loss", "discr_loss")
+        }
+        metrics["gen_loss"] = gen_loss
+        metrics["discr_loss"] = discr_loss
+        metrics["discr_steps"] = ema["discr_steps"]
+        metrics["t_balance1_avg"] = ema["t_balance1"]
+        metrics["t_balance2_avg"] = ema["t_balance2"]
+        return (gen_params, discr_params, gen_opt, discr_opt, ema,
+                step_no + 1, metrics)
+
+    jit_kwargs: Dict[str, Any] = {"donate_argnums": (0, 1, 2, 3, 4, 5)}
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        jit_kwargs["in_shardings"] = (
+            repl, repl, repl, repl, repl, repl, repl, data, repl
+        )
+        jit_kwargs["out_shardings"] = tuple([repl] * 7)
+    jitted = jax.jit(step, **jit_kwargs)
+
+    def run(state: GANTrainState, batch, rng):
+        (gp, dp, gopt, dopt, ema, step_no, metrics) = jitted(
+            state.gen_params, state.discr_params, state.gen_opt_state,
+            state.discr_opt_state, state.ema, state.step, vgg_params,
+            batch, rng,
+        )
+        return GANTrainState(gp, dp, gopt, dopt, ema, step_no), metrics
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (flat npz of the full train state)
+
+
+def save_checkpoint(path: str, state_tree) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = flatten_params(jax.device_get(state_tree))
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path: str, template_tree):
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    return unflatten_into(template_tree, flat)
+
+
+# ---------------------------------------------------------------------------
+# Fit loop
+
+
+class MeanAccumulator:
+    """Host-side running means of step metrics (reference keras Mean
+    trackers)."""
+
+    def __init__(self):
+        self._sums: Dict[str, float] = {}
+        self._counts: Dict[str, int] = {}
+
+    def update(self, metrics: Dict[str, Any]) -> None:
+        for k, v in metrics.items():
+            val = float(np.asarray(v))
+            self._sums[k] = self._sums.get(k, 0.0) + val
+            self._counts[k] = self._counts.get(k, 0) + 1
+
+    def result(self) -> Dict[str, float]:
+        return {
+            k: self._sums[k] / max(self._counts[k], 1) for k in self._sums
+        }
+
+    def reset(self) -> None:
+        self._sums.clear()
+        self._counts.clear()
+
+
+def fit(
+    step_fn: Callable,
+    state,
+    train_data: Iterable[Dict[str, np.ndarray]],
+    epochs: int,
+    steps_per_epoch: int,
+    rng: jax.Array,
+    val_fn: Optional[Callable] = None,
+    val_data: Optional[Iterable[Dict[str, np.ndarray]]] = None,
+    checkpoint_dir: Optional[str] = None,
+    monitor: str = "loss",
+    early_stopping_patience: Optional[int] = None,
+    log_fn: Callable[[str], None] = print,
+    epoch_callback: Optional[Callable] = None,
+):
+    """Generic epoch loop: train, validate, checkpoint best+latest.
+
+    Terminates on non-finite monitored metrics (reference TerminateOnNaN).
+    Returns (state, history).
+    """
+    data_iter = iter(train_data)
+    history = []
+    best = float("inf")
+    stale = 0
+    acc = MeanAccumulator()
+    for epoch in range(epochs):
+        acc.reset()
+        t0 = time.time()
+        for _ in range(steps_per_epoch):
+            batch = next(data_iter)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+            acc.update(metrics)
+        train_metrics = acc.result()
+        if any(not np.isfinite(v) for v in train_metrics.values()):
+            log_fn(f"epoch {epoch}: non-finite metric, terminating: "
+                   f"{train_metrics}")
+            break
+
+        entry = {"epoch": epoch, "time": time.time() - t0,
+                 **{f"train_{k}": v for k, v in train_metrics.items()}}
+        if val_fn is not None and val_data is not None:
+            vacc = MeanAccumulator()
+            for batch in val_data:
+                rng, val_rng = jax.random.split(rng)
+                vacc.update(val_fn(state, batch, val_rng))
+            entry.update(
+                {f"val_{k}": v for k, v in vacc.result().items()}
+            )
+
+        history.append(entry)
+        log_fn(
+            f"epoch {epoch}: "
+            + " ".join(f"{k}={v:.4g}" for k, v in entry.items()
+                       if k != "epoch")
+        )
+
+        if checkpoint_dir is not None:
+            tree = state.tree() if hasattr(state, "tree") else state
+            save_checkpoint(
+                os.path.join(checkpoint_dir, "latest.npz"), tree
+            )
+            with open(os.path.join(checkpoint_dir, "history.json"),
+                      "w") as f:
+                json.dump(history, f)
+            current = entry.get(f"val_{monitor}",
+                                entry.get(f"train_{monitor}"))
+            if current is not None and current < best:
+                best = current
+                stale = 0
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, "best.npz"), tree
+                )
+            else:
+                stale += 1
+        if epoch_callback is not None:
+            epoch_callback(epoch, state, entry)
+        if (early_stopping_patience is not None
+                and stale > early_stopping_patience):
+            log_fn(f"early stopping at epoch {epoch}")
+            break
+    return state, history

@@ -1,0 +1,276 @@
+"""Training-stack tests: FRVSR / GAN steps, gating, freezing, DP mesh.
+
+Follows the survey's test strategy (SURVEY.md §4): no reference tests
+exist, so behavior is pinned with self-consistency oracles -- losses
+decrease on a fixed batch, BN stats move, the t_balance gate provably
+opens/closes, and the 8-virtual-device data-parallel step matches the
+single-device step numerically.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from joshupscale_tpu.models import create_models
+from joshupscale_tpu.training import (
+    GANTrainState,
+    TrainState,
+    build_frvsr_step,
+    build_gan_step,
+    fit,
+    freeze_mask,
+    make_optimizer,
+    load_checkpoint,
+    save_checkpoint,
+)
+from joshupscale_tpu.training.trainer import merge_bn_updates
+
+
+CROP = 8  # LR crop; HR = 32
+
+
+def _config(with_gan=False):
+    cfg = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "frvsr": {"name": "frvsr", "flow": {"model": "flow"},
+                  "generator": {"model": "generator"}},
+    }
+    if with_gan:
+        cfg["discriminator"] = {"name": "discriminator", "alpha": 0.25}
+        cfg["vgg"] = {"name": "vgg"}
+        cfg["gan"] = {
+            "name": "gan",
+            "flow": {"model": "flow"},
+            "generator": {"model": "generator"},
+            "discriminator": {"model": "discriminator"},
+            "vgg": {"model": "vgg"},
+        }
+    return cfg
+
+
+def _batch(rng, b=2, t=10, crop=CROP):
+    return {
+        "input": jnp.asarray(
+            rng.random((b, t, crop, crop, 3), np.float32) - 0.5),
+        "target": jnp.asarray(
+            rng.random((b, t, crop * 4, crop * 4, 3), np.float32) - 0.5),
+    }
+
+
+def test_frvsr_step_decreases_loss(rng):
+    models = create_models(_config(), seed=0)
+    trainer = models["frvsr"].obj
+    params = models["frvsr"].params
+    opt = make_optimizer(1e-3)
+    step = build_frvsr_step(trainer, opt)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.fold_in(key, 0))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 4
+
+    # BN moving stats must move off their init (zeros / ones).
+    mm = np.asarray(state.params["flow"]["bn_1"]["moving_mean"])
+    assert np.abs(mm).max() > 0
+
+
+def test_frvsr_freeze_mask(rng):
+    models = create_models(_config(), seed=0)
+    trainer = models["frvsr"].obj
+    params = models["frvsr"].params
+    opt = make_optimizer(1e-3)
+    mask = freeze_mask(params, ("flow",))
+    step = build_frvsr_step(trainer, opt, mask=mask)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    before = np.asarray(params["flow"]["conv_1"]["kernel"])
+    gen_before = np.asarray(params["generator"]["conv_1"]["kernel"])
+    state, _ = step(state, _batch(rng), jax.random.PRNGKey(1))
+    after = np.asarray(state.params["flow"]["conv_1"]["kernel"])
+    gen_after = np.asarray(state.params["generator"]["conv_1"]["kernel"])
+    np.testing.assert_array_equal(before, after)
+    assert np.abs(gen_before - gen_after).max() > 0
+
+
+def test_frvsr_checkpoint_roundtrip(rng, tmp_path):
+    models = create_models(_config(), seed=0)
+    trainer = models["frvsr"].obj
+    params = models["frvsr"].params
+    opt = make_optimizer(1e-3)
+    step = build_frvsr_step(trainer, opt)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    state, _ = step(state, _batch(rng), jax.random.PRNGKey(2))
+
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state.tree())
+    restored = load_checkpoint(path, state.tree())
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.tree()),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_frvsr_data_parallel_matches_single(rng):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import optax
+
+    models = create_models(_config(), seed=0)
+    trainer = models["frvsr"].obj
+    params = models["frvsr"].params
+    # SGD: updates stay proportional to gradients, so reduction-order
+    # noise isn't amplified (Adam's g/sqrt(v) flips sign on ~0 grads).
+    opt = optax.sgd(1e-3)
+    batch = _batch(rng, b=8)
+    key = jax.random.PRNGKey(3)
+
+    # Copy params: the jitted step donates them and the DP run below
+    # needs the originals intact.
+    copy = jax.tree_util.tree_map(jnp.array, params)
+    ref_step = build_frvsr_step(trainer, opt)
+    ref_state = TrainState(
+        copy, opt.init(copy), jnp.zeros((), jnp.int32))
+    ref_state, ref_metrics = ref_step(ref_state, batch, key)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    dp_step = build_frvsr_step(trainer, opt, mesh=mesh)
+    repl = NamedSharding(mesh, P())
+    sharded_params = jax.device_put(params, repl)
+    dp_state = TrainState(
+        sharded_params,
+        jax.device_put(opt.init(params), repl),
+        jax.device_put(jnp.zeros((), jnp.int32), repl),
+    )
+    dp_batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    dp_state, dp_metrics = dp_step(dp_state, dp_batch, key)
+
+    # Cross-replica reductions change summation order: fp32 noise only.
+    np.testing.assert_allclose(
+        float(ref_metrics["loss"]), float(dp_metrics["loss"]),
+        rtol=5e-4,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.params),
+        jax.tree_util.tree_leaves(dp_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+@pytest.fixture(scope="module")
+def gan_setup():
+    models = create_models(_config(with_gan=True), seed=0)
+    built = models["gan"]
+    trainer = built.obj
+    gen_params = built.params["gen"]
+    discr_params = built.params["discr"]
+    vgg_params = built.params["vgg"]
+    return trainer, gen_params, discr_params, vgg_params
+
+
+def _gan_state(trainer, gen_params, discr_params, gopt, dopt):
+    # Copy: the jitted step donates its state and the fixture params are
+    # shared across tests.
+    gen_params = jax.tree_util.tree_map(jnp.array, gen_params)
+    discr_params = jax.tree_util.tree_map(jnp.array, discr_params)
+    return GANTrainState(
+        gen_params=gen_params,
+        discr_params=discr_params,
+        gen_opt_state=gopt.init(gen_params),
+        discr_opt_state=dopt.init(discr_params),
+        ema=trainer.init_ema(),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def test_gan_step_trains_both(gan_setup, rng):
+    trainer, gen_params, discr_params, vgg_params = gan_setup
+    gopt = make_optimizer(1e-4)
+    dopt = make_optimizer(1e-4)
+    step = build_gan_step(trainer, gopt, dopt, vgg_params)
+    state = _gan_state(trainer, gen_params, discr_params, gopt, dopt)
+
+    batch = _batch(rng, b=1)
+    d_before = np.asarray(discr_params["conv_1"]["kernel"])
+    g_before = np.asarray(gen_params["generator"]["conv_1"]["kernel"])
+    state, metrics = step(state, batch, jax.random.PRNGKey(4))
+    for k in ("gen_loss", "discr_loss", "content_loss", "warp_loss",
+              "pp_loss", "adv_loss", "vgg_loss", "discr_layer_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    # EMA starts at 0 < 0.2 threshold => discriminator trains.
+    assert int(metrics["discr_steps"]) == 1
+    assert np.abs(
+        np.asarray(state.discr_params["conv_1"]["kernel"]) - d_before
+    ).max() > 0
+    assert np.abs(
+        np.asarray(state.gen_params["generator"]["conv_1"]["kernel"])
+        - g_before
+    ).max() > 0
+
+
+def test_gan_gating_skips_discriminator(gan_setup, rng):
+    import dataclasses as dc
+
+    trainer, gen_params, discr_params, vgg_params = gan_setup
+    # Threshold below any possible EMA value => gate always closed.
+    trainer = dc.replace(
+        trainer, loss_config=(("t_balance1_threshold", -1e9),)
+    )
+    gopt = make_optimizer(1e-4)
+    dopt = make_optimizer(1e-4)
+    step = build_gan_step(trainer, gopt, dopt, vgg_params)
+    state = _gan_state(trainer, gen_params, discr_params, gopt, dopt)
+
+    d_before = np.asarray(discr_params["conv_1"]["kernel"])
+    state, metrics = step(state, _batch(rng, b=1), jax.random.PRNGKey(5))
+    assert int(metrics["discr_steps"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(state.discr_params["conv_1"]["kernel"]), d_before
+    )
+
+
+def test_merge_bn_updates_paths():
+    params = {"flow": {"bn_1": {"moving_mean": jnp.zeros(3)}},
+              "generator": {"bn_1": {"moving_mean": jnp.zeros(3)}}}
+    upd = {"flow.bn_1": {"moving_mean": jnp.ones(3)}}
+    out = merge_bn_updates(params, upd)
+    np.testing.assert_array_equal(
+        np.asarray(out["flow"]["bn_1"]["moving_mean"]), np.ones(3))
+    np.testing.assert_array_equal(
+        np.asarray(out["generator"]["bn_1"]["moving_mean"]), np.zeros(3))
+
+
+def test_fit_loop_runs(rng, tmp_path):
+    models = create_models(_config(), seed=0)
+    trainer = models["frvsr"].obj
+    params = models["frvsr"].params
+    opt = make_optimizer(1e-3)
+    step = build_frvsr_step(trainer, opt)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    batch = _batch(rng)
+
+    def data():
+        while True:
+            yield batch
+
+    logs = []
+    state, history = fit(
+        step, state, data(), epochs=2, steps_per_epoch=2,
+        rng=jax.random.PRNGKey(6),
+        checkpoint_dir=str(tmp_path), log_fn=logs.append,
+    )
+    assert len(history) == 2
+    assert (tmp_path / "latest.npz").exists()
+    assert (tmp_path / "best.npz").exists()
+    assert history[1]["train_loss"] < history[0]["train_loss"]
