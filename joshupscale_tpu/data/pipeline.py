@@ -1,0 +1,675 @@
+"""Config-driven dataset op pipeline.
+
+Capability parity with reference ``scripts/training/dataset.py``
+(DATASET_OPS :610-638, create_dataset :641-654): a YAML list of ops is
+chained into a stream of ``{"input", "target"[, "last"]}`` dicts.
+
+TPU-native redesign: instead of tf.data graphs, the pipeline is plain
+NumPy generators -- JAX consumes host numpy batches directly, the
+augmentations are trivially debuggable, and nothing here traces or
+compiles.  Throughput comes from a background prefetch thread
+(``PrefetchOp``) feeding the accelerator step; the heavy lifting
+(decode/crop) is tiny compared to a VSR train step.  TFRecord reading
+and PNG decode use tensorflow when present (the reference's tfrecords
+remain readable); the rest is dependency-free.
+
+Every op matches the reference's name and config keys, so reference
+dataset YAMLs work unchanged.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+import queue
+import random
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+Stream = Iterator[Any]
+
+
+class DatasetOp:
+    """Base op: callable from upstream value/stream to downstream."""
+
+    def __init__(self, name: str, **_):
+        self.name = name
+
+    def __call__(self, data: Any) -> Any:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Sources
+
+
+class GlobOp(DatasetOp):
+    def __init__(self, name: str, glob_pattern: str, **kw):
+        super().__init__(name)
+        self.glob_pattern = glob_pattern
+
+    def __call__(self, data):
+        assert data is None
+        return sorted(globlib.glob(self.glob_pattern, recursive=True))
+
+
+class ListShuffleOp(DatasetOp):
+    def __call__(self, data):
+        out = list(data)
+        random.shuffle(out)
+        return out
+
+
+class TFRecordDatasetOp(DatasetOp):
+    """TFRecord source (requires tensorflow for the record reader)."""
+
+    def __init__(self, name: str, path=None, **kw):
+        super().__init__(name)
+        self.path = path
+        self.kwargs = kw
+
+    def __call__(self, data):
+        path = self.path if self.path is not None else data
+        if path is None:
+            raise ValueError("Dataset path is not defined")
+
+        def gen():
+            import tensorflow as tf
+
+            ds = tf.data.TFRecordDataset(
+                path,
+                **{k: v for k, v in self.kwargs.items()
+                   if k in ("compression_type", "buffer_size",
+                            "num_parallel_reads")},
+            )
+            for rec in ds:
+                yield bytes(rec.numpy())
+
+        return _Restartable(gen)
+
+
+class LocalDatasetOp(DatasetOp):
+    """10-frame groups of LR/HR image files (reference :71-114)."""
+
+    def __init__(self, name: str, hr_path: str, lr_path: str,
+                 shuffle: bool = False, **kw):
+        super().__init__(name)
+        hr_files = sorted(globlib.glob(hr_path, recursive=True))
+        lr_files = sorted(globlib.glob(lr_path, recursive=True))
+        if len(lr_files) != len(hr_files) or len(hr_files) % 10 != 0:
+            raise ValueError("Invalid number of images")
+        frames = list(zip(
+            [os.path.abspath(x) for x in lr_files],
+            [os.path.abspath(x) for x in hr_files],
+        ))
+        self.groups = [frames[i:i + 10] for i in range(0, len(frames), 10)]
+        if shuffle:
+            random.shuffle(self.groups)
+
+    def __call__(self, data):
+        assert data is None
+
+        def gen():
+            for group in self.groups:
+                lr = np.stack([_imread_bgr(p) for p, _ in group])
+                hr = np.stack([_imread_bgr(p) for _, p in group])
+                yield {"input": lr, "target": hr}
+
+        return _Restartable(gen)
+
+
+def _imread_bgr(path: str) -> np.ndarray:
+    """Read an image as BGR uint8 (cv2 convention, like the reference)."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError(f"Cannot read image: {path}")
+        return img
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))[:, :, ::-1]
+
+
+class _Restartable:
+    """Iterable wrapping a generator factory (so Repeat/Cache can re-pull)."""
+
+    def __init__(self, factory: Callable[[], Iterator]):
+        self.factory = factory
+
+    def __iter__(self):
+        return self.factory()
+
+
+# ---------------------------------------------------------------------------
+# Element transforms
+
+
+class MapOp(DatasetOp):
+    def map_fn(self, data):
+        return data
+
+    def __call__(self, data):
+        src = data
+
+        def gen():
+            for item in src:
+                yield self.map_fn(item)
+
+        return _Restartable(gen)
+
+
+class FlatMapOp(MapOp):
+    """Map then unbatch axis 0."""
+
+    def __call__(self, data):
+        src = data
+
+        def gen():
+            for item in src:
+                mapped = self.map_fn(item)
+                n = len(next(iter(mapped.values())))
+                for i in range(n):
+                    yield {k: v[i] for k, v in mapped.items()}
+
+        return _Restartable(gen)
+
+
+class FilterOp(DatasetOp):
+    def filter_fn(self, data) -> bool:
+        return True
+
+    def __call__(self, data):
+        src = data
+
+        def gen():
+            for item in src:
+                if self.filter_fn(item):
+                    yield item
+
+        return _Restartable(gen)
+
+
+class RandomCondMapOp(MapOp):
+    def __init__(self, threshold: float, **kw):
+        super().__init__(**kw)
+        self.threshold = threshold
+
+    def true_fn(self, data):
+        return data
+
+    def map_fn(self, data):
+        if np.random.random() < self.threshold:
+            return self.true_fn(data)
+        return data
+
+
+class ParsePairExampleOp(MapOp):
+    """tf.train.Example with 10 encoded input/target PNGs each."""
+
+    def map_fn(self, data):
+        import tensorflow as tf
+
+        parsed = tf.io.parse_single_example(data, {
+            "input": tf.io.FixedLenFeature([10], tf.string),
+            "target": tf.io.FixedLenFeature([10], tf.string),
+        })
+        return {
+            "input": np.stack([
+                tf.io.decode_image(x).numpy() for x in parsed["input"]
+            ]),
+            "target": np.stack([
+                tf.io.decode_image(x).numpy() for x in parsed["target"]
+            ]),
+        }
+
+
+class ParseSingleExampleOp(MapOp):
+    """HR-only examples; LR derived by nearest x1/4 downscale
+    (TF1 grid: plain ::4 subsampling)."""
+
+    def map_fn(self, data):
+        import tensorflow as tf
+
+        parsed = tf.io.parse_single_example(data, {
+            "images": tf.io.FixedLenFeature([10], tf.string),
+        })
+        images = np.stack([
+            tf.io.decode_image(x).numpy() for x in parsed["images"]
+        ])
+        return {"input": images[:, ::4, ::4, :], "target": images}
+
+
+class RandomCropOp(FlatMapOp):
+    """num_img random LR crops per sequence (+ aligned 4x HR crops)."""
+
+    def __init__(self, crop_size: int, num_img: int, **kw):
+        super().__init__(**kw)
+        self.crop_size = crop_size
+        self.num_img = num_img
+
+    def map_fn(self, data):
+        h, w = data["input"].shape[1:3]
+        cs = self.crop_size
+        inputs, targets = [], []
+        for _ in range(self.num_img):
+            x0 = np.random.randint(0, w - cs)
+            y0 = np.random.randint(0, h - cs)
+            inputs.append(data["input"][:, y0:y0 + cs, x0:x0 + cs, :])
+            targets.append(
+                data["target"][:, y0 * 4:(y0 + cs) * 4,
+                               x0 * 4:(x0 + cs) * 4, :]
+            )
+        return {
+            "input": np.stack(inputs),
+            "target": np.stack(targets),
+        }
+
+
+class NormalizeOp(MapOp):
+    def __init__(self, crop_size: int, **kw):
+        super().__init__(**kw)
+        self.crop_size = crop_size
+
+    def map_fn(self, data):
+        cs = self.crop_size
+        return {
+            "input": data["input"].astype(np.float32).reshape(
+                10, cs, cs, 3) / 255.0 - 0.5,
+            "target": data["target"].astype(np.float32).reshape(
+                10, cs * 4, cs * 4, 3) / 255.0 - 0.5,
+        }
+
+
+class FilterFlatOp(FilterOp):
+    """Drop sequences with low temporal variation (reference :292-308)."""
+
+    def __init__(self, threshold: float, **kw):
+        super().__init__(**kw)
+        self.threshold = threshold
+
+    def filter_fn(self, data):
+        val = np.std(data["input"].astype(np.float32), axis=0)
+        val = np.sum(val, axis=-1)
+        return float(np.mean(val)) > self.threshold
+
+
+class RgbToBgrOp(MapOp):
+    def map_fn(self, data):
+        return {
+            "input": data["input"][:, :, :, ::-1],
+            "target": data["target"][:, :, :, ::-1],
+        }
+
+
+class RandomNoiseOp(MapOp):
+    def __init__(self, stddev: float, **kw):
+        super().__init__(**kw)
+        self.stddev = stddev
+
+    def map_fn(self, data):
+        noise = np.random.normal(
+            0.0, self.stddev, data["input"].shape
+        ).astype(np.float32)
+        return {"input": data["input"] + noise, "target": data["target"]}
+
+
+class RandomContrastOp(MapOp):
+    def __init__(self, stddev: float, base: float, **kw):
+        super().__init__(**kw)
+        self.stddev = stddev
+        self.base = base
+
+    def map_fn(self, data):
+        rate = float(self.base) ** np.random.normal(0.0, self.stddev)
+        mean = np.mean(data["target"], axis=(0, 1, 2))
+        return {
+            "input": (data["input"] - mean) * rate + mean,
+            "target": (data["target"] - mean) * rate + mean,
+        }
+
+
+class RandomBrightnessOp(MapOp):
+    def __init__(self, stddev: float, **kw):
+        super().__init__(**kw)
+        self.stddev = stddev
+
+    def map_fn(self, data):
+        delta = np.random.normal(0.0, self.stddev)
+        return {
+            "input": data["input"] + delta,
+            "target": data["target"] + delta,
+        }
+
+
+class RandomHorizontalFlipOp(RandomCondMapOp):
+    def true_fn(self, data):
+        return {
+            "input": data["input"][:, :, ::-1, :],
+            "target": data["target"][:, :, ::-1, :],
+        }
+
+
+class RandomVerticalFlipOp(RandomCondMapOp):
+    def true_fn(self, data):
+        return {
+            "input": data["input"][:, ::-1, :, :],
+            "target": data["target"][:, ::-1, :, :],
+        }
+
+
+class RandomTransposeOp(RandomCondMapOp):
+    def true_fn(self, data):
+        return {
+            "input": np.transpose(data["input"], (0, 2, 1, 3)),
+            "target": np.transpose(data["target"], (0, 2, 1, 3)),
+        }
+
+
+class ClipOp(MapOp):
+    def __init__(self, minval: float, maxval: float, **kw):
+        super().__init__(**kw)
+        self.minval = minval
+        self.maxval = maxval
+
+    def map_fn(self, data):
+        return {
+            "input": np.clip(data["input"], self.minval, self.maxval),
+            "target": np.clip(data["target"], self.minval, self.maxval),
+        }
+
+
+class SingleFrameMapOp(FlatMapOp):
+    """Sliding windows for FRVSR-single (reference :452-473)."""
+
+    def __init__(self, flow_frames: int, **kw):
+        super().__init__(**kw)
+        self.flow_frames = flow_frames
+
+    def map_fn(self, data):
+        ff = self.flow_frames
+        inputs, targets, last = [], [], []
+        for idx in range(11 - ff):
+            inputs.append(data["input"][idx:idx + ff])
+            targets.append(data["target"][idx + ff - 1])
+            last.append(data["target"][idx + ff - 2])
+        return {
+            "input": np.stack(inputs),
+            "target": np.stack(targets),
+            "last": np.stack(last),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Stream assembly
+
+
+class SampleDatasetOp(DatasetOp):
+    """Random interleave of sub-pipelines (reference :476-493)."""
+
+    def __init__(self, name: str, configs: List[List[Dict]],
+                 weights: Optional[List[float]] = None, **kw):
+        super().__init__(name)
+        self.configs = configs
+        self.weights = weights
+
+    def __call__(self, data):
+        assert data is None
+        configs = self.configs
+        weights = self.weights
+
+        def gen():
+            iters = [iter(create_dataset(c)) for c in configs]
+            w = np.asarray(
+                weights if weights else [1.0] * len(iters), np.float64
+            )
+            alive = list(range(len(iters)))
+            while alive:
+                probs = w[alive] / w[alive].sum()
+                pick = int(np.random.choice(len(alive), p=probs))
+                try:
+                    yield next(iters[alive[pick]])
+                except StopIteration:
+                    alive.pop(pick)
+
+        return _Restartable(gen)
+
+
+class BatchOp(DatasetOp):
+    def __init__(self, name: str, batch_size: int, **kw):
+        super().__init__(name)
+        self.batch_size = batch_size
+
+    def __call__(self, data):
+        src = data
+        bs = self.batch_size
+
+        def gen():
+            buf = []
+            for item in src:
+                buf.append(item)
+                if len(buf) == bs:
+                    yield {
+                        k: np.stack([b[k] for b in buf]) for k in buf[0]
+                    }
+                    buf = []
+            # drop_remainder=True semantics: leftover discarded
+
+        return _Restartable(gen)
+
+
+class RepeatOp(DatasetOp):
+    def __call__(self, data):
+        src = data
+
+        def gen():
+            while True:
+                count = 0
+                for item in src:
+                    count += 1
+                    yield item
+                if count == 0:
+                    return
+
+        return _Restartable(gen)
+
+
+class ShuffleOp(DatasetOp):
+    def __init__(self, name: str, shuffle_window: int, **kw):
+        super().__init__(name)
+        self.window = shuffle_window
+
+    def __call__(self, data):
+        src = data
+        window = self.window
+
+        def gen():
+            buf = []
+            for item in src:
+                buf.append(item)
+                if len(buf) >= window:
+                    i = np.random.randint(len(buf))
+                    buf[i], buf[-1] = buf[-1], buf[i]
+                    yield buf.pop()
+            random.shuffle(buf)
+            yield from buf
+
+        return _Restartable(gen)
+
+
+class CacheOp(DatasetOp):
+    def __call__(self, data):
+        src = data
+        cache: List[Any] = []
+        done = [False]
+
+        def gen():
+            if done[0]:
+                yield from cache
+                return
+            cache.clear()  # partial fill from an abandoned iteration
+            for item in src:
+                cache.append(item)
+                yield item
+            done[0] = True
+
+        return _Restartable(gen)
+
+
+class PrefetchOp(DatasetOp):
+    """Background-thread prefetch (the host-side analog of tf.data
+    prefetch; keeps the accelerator step fed)."""
+
+    def __init__(self, name: str, buffer_size: int, **kw):
+        super().__init__(name)
+        self.buffer_size = buffer_size if buffer_size > 0 else 4
+
+    def __call__(self, data):
+        src = data
+        depth = self.buffer_size
+
+        def gen():
+            q: "queue.Queue" = queue.Queue(maxsize=depth)
+            stop = object()
+
+            def worker():
+                try:
+                    for item in src:
+                        q.put(item)
+                finally:
+                    q.put(stop)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is stop:
+                    return
+                yield item
+
+        return _Restartable(gen)
+
+
+class TakeOp(DatasetOp):
+    def __init__(self, name: str, size: int, **kw):
+        super().__init__(name)
+        self.size = size
+
+    def __call__(self, data):
+        src = data
+        size = self.size
+
+        def gen():
+            for i, item in enumerate(src):
+                if i >= size:
+                    return
+                yield item
+
+        return _Restartable(gen)
+
+
+class SkipOp(DatasetOp):
+    def __init__(self, name: str, size: int, **kw):
+        super().__init__(name)
+        self.size = size
+
+    def __call__(self, data):
+        src = data
+        size = self.size
+
+        def gen():
+            for i, item in enumerate(src):
+                if i >= size:
+                    yield item
+
+        return _Restartable(gen)
+
+
+class OptionsOp(DatasetOp):
+    """tf.data options have no analog here; accepted and ignored so
+    reference configs parse."""
+
+    def __init__(self, name: str, options: Dict[str, Any], **kw):
+        super().__init__(name)
+
+    def __call__(self, data):
+        return data
+
+
+DATASET_OPS: Dict[str, type] = {
+    "GlobOp": GlobOp,
+    "ListShuffleOp": ListShuffleOp,
+    "TFRecordDatasetOp": TFRecordDatasetOp,
+    "LocalDatasetOp": LocalDatasetOp,
+    "ParsePairExampleOp": ParsePairExampleOp,
+    "ParseSingleExampleOp": ParseSingleExampleOp,
+    "RandomCropOp": RandomCropOp,
+    "NormalizeOp": NormalizeOp,
+    "FilterFlatOp": FilterFlatOp,
+    "RgbToBgrOp": RgbToBgrOp,
+    "RandomNoiseOp": RandomNoiseOp,
+    "RandomContrastOp": RandomContrastOp,
+    "RandomBrightnessOp": RandomBrightnessOp,
+    "RandomHorizontalFlipOp": RandomHorizontalFlipOp,
+    "RandomVerticalFlipOp": RandomVerticalFlipOp,
+    "RandomTransposeOp": RandomTransposeOp,
+    "ClipOp": ClipOp,
+    "SampleDatasetOp": SampleDatasetOp,
+    "SingleFrameMapOp": SingleFrameMapOp,
+    "BatchOp": BatchOp,
+    "RepeatOp": RepeatOp,
+    "ShuffleOp": ShuffleOp,
+    "CacheOp": CacheOp,
+    "PrefetchOp": PrefetchOp,
+    "TakeOp": TakeOp,
+    "SkipOp": SkipOp,
+    "OptionsOp": OptionsOp,
+}
+
+
+def create_dataset(config: List[Dict[str, Any]]):
+    """Build an iterable dataset from an op-chain config."""
+    data = None
+    for op_config in config:
+        if "name" not in op_config:
+            raise ValueError("Op name is not defined")
+        name = op_config["name"]
+        if name not in DATASET_OPS:
+            raise ValueError(f"Unknown dataset op: {name}")
+        op = DATASET_OPS[name](**op_config)
+        data = op(data)
+    if data is None:
+        raise ValueError("Invalid dataset config")
+    return data
+
+
+def create_train_dataset(config: List[Dict[str, Any]], batch_size: int):
+    """Training stream: config + batch + prefetch (reference :657-663)."""
+    return create_dataset(config + [
+        {"name": "BatchOp", "batch_size": batch_size},
+        {"name": "PrefetchOp", "buffer_size": 4},
+    ])
+
+
+def create_val_dataset(config: List[Dict[str, Any]], batch_size: int,
+                       play_size: int, val_size: int):
+    """(val, play) streams, cached and pre-filled (reference :666-685)."""
+    val_ds = create_dataset(config + [
+        {"name": "TakeOp", "size": val_size},
+        {"name": "BatchOp", "batch_size": batch_size},
+        {"name": "CacheOp"},
+    ])
+    play_ds = create_dataset(config + [
+        {"name": "TakeOp", "size": play_size},
+        {"name": "BatchOp", "batch_size": play_size},
+        {"name": "CacheOp"},
+    ])
+    for _ in val_ds:
+        pass
+    for _ in play_ds:
+        pass
+    return val_ds, play_ds

@@ -1,0 +1,258 @@
+"""Training CLI: YAML config -> models -> datasets -> fit -> export.
+
+Parity with reference ``scripts/training/train_local.py``: the config has
+``models:`` (registry entries), ``train_dataset:`` / ``val_dataset:``
+(op-chain lists), ``train:`` (loop settings), ``export:`` (package
+output).  Differences by design:
+
+- YAML is parsed with ``safe_load`` (the reference uses ``unsafe_load``).
+- Device setup is JAX-native: data parallelism comes from a 1-D mesh over
+  all local devices (the reference's MirroredStrategy analog); bfloat16
+  replaces mixed_float16 (no loss scaling needed).
+- Checkpoints are flat-npz train states with best/latest retention.
+
+Usage: ``python -m joshupscale_tpu.training.cli -c config.yaml``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train JoshUpscale-TPU")
+    parser.add_argument("-c", "--config", required=True,
+                        help="YAML config path")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU backend")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="limit data-parallel devices")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    if args.cpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import yaml
+
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    return train(config, seed=args.seed, num_devices=args.num_devices)
+
+
+def train(config: Dict[str, Any], seed: int = 0,
+          num_devices=None) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from joshupscale_tpu.data import (
+        create_train_dataset,
+        create_val_dataset,
+    )
+    from joshupscale_tpu.models import create_models
+    from joshupscale_tpu.parallel.mesh import create_mesh
+    from joshupscale_tpu.training import (
+        build_frvsr_step,
+        build_gan_step,
+        fit,
+        freeze_mask,
+        init_gan_state,
+        init_train_state,
+        load_checkpoint,
+        make_optimizer,
+    )
+    from joshupscale_tpu.training.play import PlayCallback
+
+    train_cfg = dict(config.get("train", {}))
+    models = create_models(config["models"], seed=seed)
+
+    trainer_name = train_cfg.get("model")
+    if trainer_name is None:
+        candidates = [n for n, m in models.items()
+                      if m.kind in ("frvsr", "frvsr-single", "gan")]
+        if len(candidates) != 1:
+            raise ValueError(
+                "Set train.model; trainer candidates: " + str(candidates)
+            )
+        trainer_name = candidates[0]
+    built = models[trainer_name]
+    trainer = built.obj
+    lr = built.config.get("learning_rate", 0.0005)
+    reg = built.config.get("regularization")
+    l2_reg = 0.0
+    if isinstance(reg, dict) and reg.get("name") == "l2":
+        l2_reg = float(reg.get("l2", 0.0))
+
+    n_dev = num_devices or len(jax.devices())
+    mesh = create_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        print(f"data-parallel mesh over {n_dev} devices")
+
+    batch_size = int(train_cfg.get("batch_size", 4))
+    epochs = int(train_cfg.get("epochs", 1))
+    steps_per_epoch = int(train_cfg.get("steps_per_epoch", 100))
+    ckpt_dir = train_cfg.get("checkpoint_dir", "checkpoints")
+    log_dir = train_cfg.get("log_dir", ckpt_dir)
+
+    train_ds = create_train_dataset(config["train_dataset"], batch_size)
+
+    val_iterable = None
+    play_cb = None
+    if "val_dataset" in config:
+        val_ds, play_ds = create_val_dataset(
+            config["val_dataset"], batch_size,
+            play_size=int(train_cfg.get("play_size", 4)),
+            val_size=int(train_cfg.get("val_size", 16)),
+        )
+        val_iterable = val_ds
+        inference = built.config.get("inference")
+        if inference is not None and inference.obj is not None:
+            play_batch = next(iter(play_ds))
+            play_cb = PlayCallback(
+                inference.obj, play_batch,
+                os.path.join(log_dir, "play"),
+                interval=int(train_cfg.get("play_interval", 1)),
+            )
+
+    rng = jax.random.PRNGKey(seed)
+
+    if built.kind == "gan":
+        gopt = make_optimizer(lr)
+        dopt = make_optimizer(lr)
+        gen_mask = freeze_mask(
+            built.params["gen"], tuple(built.frozen_paths)
+        ) if built.frozen_paths else None
+        step = build_gan_step(
+            trainer, gopt, dopt, built.params["vgg"],
+            gen_mask=gen_mask, l2_reg=l2_reg, mesh=mesh,
+        )
+        state = init_gan_state(
+            trainer, built.params["gen"], built.params["discr"],
+            gopt, dopt,
+        )
+
+        def val_fn(st, batch, key):
+            y = trainer.forward(
+                st.gen_params, st.discr_params, built.params["vgg"],
+                jnp.asarray(batch["input"]), jnp.asarray(batch["target"]),
+                key, training=False,
+            )
+            terms = trainer.compute_losses(y, st.ema)
+            return {k: v for k, v in terms.items()
+                    if k not in ("gen_loss", "discr_loss")}
+
+        monitor = train_cfg.get("monitor", "content_loss")
+    else:
+        opt = make_optimizer(lr)
+        mask = freeze_mask(
+            built.params, tuple(built.frozen_paths)
+        ) if built.frozen_paths else None
+        step = build_frvsr_step(
+            trainer, opt, mask=mask, l2_reg=l2_reg, mesh=mesh
+        )
+        state = init_train_state(built.params, opt)
+
+        def val_fn(st, batch, key):
+            _, aux = trainer.loss(
+                st.params,
+                {k: jnp.asarray(v) for k, v in batch.items()},
+                key,
+            )
+            return aux["metrics"]
+
+        monitor = train_cfg.get("monitor", "loss")
+
+    resume = train_cfg.get("resume")
+    if resume:
+        state = type(state)(**load_checkpoint(resume, state.tree()))
+        print(f"resumed from {resume}")
+
+    state, history = fit(
+        step,
+        state,
+        iter(train_ds),
+        epochs=epochs,
+        steps_per_epoch=steps_per_epoch,
+        rng=rng,
+        val_fn=val_fn if val_iterable is not None else None,
+        val_data=val_iterable,
+        checkpoint_dir=ckpt_dir,
+        monitor=monitor,
+        early_stopping_patience=train_cfg.get("early_stopping_patience"),
+        epoch_callback=play_cb,
+    )
+
+    export_cfg = config.get("export")
+    if export_cfg:
+        _export(export_cfg, config, models, built, state)
+    return 0
+
+
+def _export(export_cfg, config, models, built, state) -> None:
+    """Write trained weights + a deployable inference package."""
+    from joshupscale_tpu.export.importer import save_params_npz
+    from joshupscale_tpu.export.package import save_package
+
+    out_dir = export_cfg.get("dir", "export")
+    os.makedirs(out_dir, exist_ok=True)
+
+    if built.kind == "gan":
+        trained = state.gen_params
+    else:
+        trained = state.params
+    save_params_npz(os.path.join(out_dir, "weights.npz"), trained)
+
+    inference = built.config.get("inference")
+    inf_name = export_cfg.get("model")
+    if inf_name and inf_name in models:
+        inference = models[inf_name]
+    if inference is not None and inference.obj is not None:
+        if built.kind in ("frvsr", "gan"):
+            inference.params = {
+                "flow": trained["flow"],
+                "generator": trained["generator"],
+            }
+        else:
+            inference.params = trained
+        # Prune the model config to entries reachable from the inference
+        # model (the package must not rebuild trainers/VGG on load).
+        inf_key = next(
+            (n for n, m in models.items() if m is inference), "inference"
+        )
+
+        def reachable(name, seen):
+            if name in seen:
+                return
+            seen.add(name)
+            for v in config["models"][name].values():
+                if isinstance(v, dict) and "model" in v:
+                    reachable(v["model"], seen)
+
+        keep = set()
+        reachable(inf_key, keep)
+        model_cfg = {
+            name: entry for name, entry in config["models"].items()
+            if name in keep
+        }
+        save_package(
+            os.path.join(out_dir, "package"), model_cfg, inference,
+            inference_name=inf_key,
+        )
+        print(f"exported package to {out_dir}/package")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

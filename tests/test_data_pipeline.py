@@ -1,0 +1,122 @@
+"""Dataset pipeline tests: op-chain configs over synthetic image trees."""
+
+import numpy as np
+import pytest
+
+from joshupscale_tpu.data import create_dataset, create_train_dataset
+
+
+@pytest.fixture(scope="module")
+def image_tree(tmp_path_factory):
+    """20 LR (32x48) + 20 HR (128x192) PNGs = two 10-frame groups."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("imgs")
+    (root / "lr").mkdir()
+    (root / "hr").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(20):
+        lr = rng.integers(0, 256, (32, 48, 3), np.uint8)
+        hr = rng.integers(0, 256, (128, 192, 3), np.uint8)
+        cv2.imwrite(str(root / "lr" / f"{i:03d}.png"), lr)
+        cv2.imwrite(str(root / "hr" / f"{i:03d}.png"), hr)
+    return root
+
+
+def _base_config(image_tree, crop=8):
+    return [
+        {"name": "LocalDatasetOp",
+         "lr_path": str(image_tree / "lr" / "*.png"),
+         "hr_path": str(image_tree / "hr" / "*.png")},
+        {"name": "RandomCropOp", "crop_size": crop, "num_img": 2},
+        {"name": "NormalizeOp", "crop_size": crop},
+    ]
+
+
+def test_local_crop_normalize(image_tree):
+    items = list(create_dataset(_base_config(image_tree)))
+    # 2 groups x 2 crops each
+    assert len(items) == 4
+    it = items[0]
+    assert it["input"].shape == (10, 8, 8, 3)
+    assert it["target"].shape == (10, 32, 32, 3)
+    assert it["input"].dtype == np.float32
+    assert it["input"].min() >= -0.5 and it["input"].max() <= 0.5
+
+
+def test_crop_alignment(image_tree):
+    """HR crop must be exactly 4x the LR crop window."""
+    config = [
+        {"name": "LocalDatasetOp",
+         "lr_path": str(image_tree / "lr" / "*.png"),
+         "hr_path": str(image_tree / "hr" / "*.png")},
+    ]
+    seq = next(iter(create_dataset(config)))
+    assert seq["input"].shape == (10, 32, 48, 3)
+    assert seq["target"].shape == (10, 128, 192, 3)
+
+
+def test_augmentations_and_batch(image_tree):
+    config = _base_config(image_tree) + [
+        {"name": "RgbToBgrOp"},
+        {"name": "RandomNoiseOp", "stddev": 0.01},
+        {"name": "RandomContrastOp", "stddev": 0.1, "base": 2.0},
+        {"name": "RandomBrightnessOp", "stddev": 0.05},
+        {"name": "RandomHorizontalFlipOp", "threshold": 0.5},
+        {"name": "RandomVerticalFlipOp", "threshold": 0.5},
+        {"name": "RandomTransposeOp", "threshold": 0.5},
+        {"name": "ClipOp", "minval": -0.5, "maxval": 0.5},
+        {"name": "RepeatOp"},
+    ]
+    ds = create_train_dataset(config, batch_size=3)
+    it = iter(ds)
+    batch = next(it)
+    assert batch["input"].shape == (3, 10, 8, 8, 3)
+    assert batch["target"].shape == (3, 10, 32, 32, 3)
+    assert batch["input"].min() >= -0.5 and batch["input"].max() <= 0.5
+    # Repeat keeps the stream alive well past one epoch.
+    for _ in range(5):
+        next(it)
+
+
+def test_single_frame_windows(image_tree):
+    config = _base_config(image_tree) + [
+        {"name": "SingleFrameMapOp", "flow_frames": 4},
+    ]
+    item = next(iter(create_dataset(config)))
+    assert item["input"].shape == (4, 8, 8, 3)
+    assert item["target"].shape == (32, 32, 3)
+    assert item["last"].shape == (32, 32, 3)
+
+
+def test_filter_flat_drops_static(image_tree):
+    from joshupscale_tpu.data.pipeline import FilterFlatOp
+
+    op = FilterFlatOp(threshold=0.01, name="f")
+    static = {"input": np.zeros((10, 8, 8, 3), np.float32)}
+    moving = {"input": np.random.default_rng(0).random(
+        (10, 8, 8, 3)).astype(np.float32)}
+    assert not op.filter_fn(static)
+    assert op.filter_fn(moving)
+
+
+def test_take_skip_shuffle_cache(image_tree):
+    base = _base_config(image_tree)
+    taken = list(create_dataset(base + [{"name": "TakeOp", "size": 3}]))
+    assert len(taken) == 3
+    skipped = list(create_dataset(base + [{"name": "SkipOp", "size": 3}]))
+    assert len(skipped) == 1
+    cached = create_dataset(base + [{"name": "CacheOp"}])
+    a = [x["input"].sum() for x in cached]
+    b = [x["input"].sum() for x in cached]
+    assert a == b  # second pass served from cache (same values)
+
+
+def test_sample_dataset_mixes(image_tree):
+    cfg_a = _base_config(image_tree)
+    config = [{
+        "name": "SampleDatasetOp",
+        "configs": [cfg_a, cfg_a],
+    }]
+    items = list(create_dataset(config))
+    assert len(items) == 8  # 4 from each sub-pipeline
