@@ -76,19 +76,31 @@ def generator_resnet_init(
 def generator_resnet_apply(
     params,
     frame: jnp.ndarray,
-    pre_warp: jnp.ndarray,
+    pre_warp: Optional[jnp.ndarray],
     activation="relu",
     mut: Optional[Mutables] = None,
 ):
-    """Apply the generator: (frame, warped prev HR) -> refined HR frame."""
+    """Apply the generator: (frame, warped prev HR) -> refined HR frame.
+
+    ``pre_warp=None`` is the non-temporal single-frame variant (reference
+    ``scripts/inference/onnx/remove_flow.py:64-77``): the first conv's
+    kernel is sliced to the 3 frame channels -- exactly equivalent to the
+    reference's weight surgery.
+    """
     mut = mut or Mutables(False)
     act = get_activation(activation)
     num_blocks = sum(1 for k in params if k.startswith("block_"))
 
-    inp = jnp.concatenate(
-        [frame, space_to_depth(pre_warp, 4)], axis=-1
-    )
-    out = conv2d(params["conv_1"], inp)
+    if pre_warp is None:
+        inp = frame
+        conv_1 = dict(params["conv_1"])
+        conv_1["kernel"] = conv_1["kernel"][:, :, :3, :]
+        out = conv2d(conv_1, inp)
+    else:
+        inp = jnp.concatenate(
+            [frame, space_to_depth(pre_warp, 4)], axis=-1
+        )
+        out = conv2d(params["conv_1"], inp)
     out = mut.bn(params["bn_1"], "bn_1", out)
     out = act(out)
     for i in range(num_blocks):

@@ -60,6 +60,17 @@ class InferenceModel:
     normalize_brightness: bool = False
     skip_processing: bool = False
     compute_dtype: Any = jnp.float32
+    # Deployment variants (the reference bakes these in with ONNX graph
+    # surgery; here they are model options):
+    # - frame_moving_avg: temporal stabilization w/ scene detection
+    #   (reference onnx/frame_moving_avg.py)
+    # - output_flow: emit the warped frame instead of the generated one
+    #   (debug; reference onnx/output_flow.py:64-70)
+    # - remove_flow: non-temporal single-frame model, FNet stripped
+    #   (reference onnx/remove_flow.py:64-77)
+    frame_moving_avg: Any = None
+    output_flow: bool = False
+    remove_flow: bool = False
 
     # -- geometry ----------------------------------------------------------
 
@@ -92,6 +103,8 @@ class InferenceModel:
     def init_state(self, batch_size: int = 1, dtype=jnp.float32) -> State:
         """Zero recurrent state (matches the reference's zero-filled
         state buffers, reference onnx/inference.py:67-70)."""
+        if self.remove_flow:
+            return {}
         h, w = self.frame_height, self.frame_width
         ph, pw = self.padded_height, self.padded_width
         return {
@@ -154,6 +167,20 @@ class InferenceModel:
             pre = preprocess(cur_frame)
         pre = pre.astype(cdt)
 
+        if self.remove_flow:
+            # Non-temporal variant: generator on the frame alone.
+            output_raw = self.generator_apply(
+                params["generator"], pre, None,
+                mut=mut.scoped("generator"),
+            )
+            outputs = {
+                "output_denorm": output_raw.astype(jnp.float32),
+                "output_raw": output_raw.astype(jnp.float32),
+            }
+            if not self.skip_processing:
+                outputs["output"] = postprocess(output_raw)
+            return outputs, state
+
         cur_pad = pre
         if self.normalize_brightness:
             bright = brightness_op(pre)
@@ -173,9 +200,22 @@ class InferenceModel:
         output_raw = self.generator_apply(
             params["generator"], pre, pre_warp, mut=mut.scoped("generator")
         )
+        if self.frame_moving_avg is not None:
+            # Temporal stabilization baked into the recurrence at the
+            # same point as the reference's graph surgery (the generator
+            # clip output feeds both display and state).
+            from joshupscale_tpu.ops.temporal import frame_moving_avg
+
+            output_raw = frame_moving_avg(
+                output_raw, pre_warp, self.frame_moving_avg
+            )
         output_denorm = output_raw
         if self.normalize_brightness:
             output_raw = output_raw - bright
+
+        if self.output_flow:
+            # Debug variant: display the warped frame instead.
+            output_denorm = pre_warp
 
         outputs = {
             "output_denorm": output_denorm.astype(jnp.float32),

@@ -130,25 +130,39 @@ def _build_vgg(key, *, crop_size=None, out_layers=None, weights=None, **_):
 
 
 def _build_inference(key, *, generator_model: BuiltModel,
-                     flow_model: BuiltModel, skip_processing=True,
+                     flow_model: Optional[BuiltModel] = None,
+                     skip_processing=True,
                      frame_height=None, frame_width=None,
                      flow_pad_factor=None, normalize_brightness=False,
-                     compute_dtype=jnp.float32, **_):
+                     compute_dtype=jnp.float32, frame_moving_avg=None,
+                     output_flow=False, remove_flow=False, **_):
+    if frame_moving_avg is not None and not hasattr(
+        frame_moving_avg, "strength"
+    ):
+        from joshupscale_tpu.ops.temporal import FrameMovingAvgConfig
+
+        frame_moving_avg = FrameMovingAvgConfig(**frame_moving_avg)
+    if flow_model is None and not remove_flow:
+        raise ValueError("inference needs a flow model unless remove_flow")
     model = InferenceModel(
-        flow_apply=flow_model.apply,
+        flow_apply=flow_model.apply if flow_model else None,
         generator_apply=generator_model.apply,
-        num_flow_frames=flow_model.config.get("num_inputs", 4),
+        num_flow_frames=(
+            flow_model.config.get("num_inputs", 4) if flow_model else 0
+        ),
         frame_height=frame_height or 270,
         frame_width=frame_width or 480,
         flow_pad_factor=flow_pad_factor,
         normalize_brightness=normalize_brightness,
         skip_processing=skip_processing,
         compute_dtype=compute_dtype,
+        frame_moving_avg=frame_moving_avg,
+        output_flow=output_flow,
+        remove_flow=remove_flow,
     )
-    params = {
-        "flow": flow_model.params,
-        "generator": generator_model.params,
-    }
+    params = {"generator": generator_model.params}
+    if flow_model is not None:
+        params["flow"] = flow_model.params
     return BuiltModel(kind="inference", params=params, obj=model,
                       apply=model.apply)
 

@@ -1,0 +1,106 @@
+// Runtime facade: frame validation, strided/bottom-up frame staging,
+// and createRuntime (reference core/src/core.cc:154-203).
+
+#include <cstring>
+#include <stdexcept>
+#include <vector>
+
+#include "joshupscale/core.h"
+#include "logging.h"
+#include "python_backend.h"
+
+namespace JoshUpscale {
+namespace core {
+
+namespace {
+
+// Copy a possibly strided / bottom-up (negative stride) BGR24 frame to
+// a contiguous buffer (host-side analog of the reference's
+// cudaMemcpy2DAsync path, cuda_convert.cc.cu:380-436).
+void copyToContiguous(const Image &img, std::vector<std::uint8_t> *dst) {
+  std::size_t rowBytes = img.width * 3;
+  dst->resize(rowBytes * img.height);
+  const auto *src = static_cast<const std::uint8_t *>(img.ptr);
+  for (std::size_t y = 0; y < img.height; ++y) {
+    std::memcpy(dst->data() + y * rowBytes,
+                src + static_cast<std::ptrdiff_t>(y) * img.stride,
+                rowBytes);
+  }
+}
+
+void copyFromContiguous(const std::vector<std::uint8_t> &src,
+                        const Image &img) {
+  std::size_t rowBytes = img.width * 3;
+  if (src.size() != rowBytes * img.height) {
+    throw std::runtime_error("Output size mismatch");
+  }
+  auto *dst = static_cast<std::uint8_t *>(img.ptr);
+  for (std::size_t y = 0; y < img.height; ++y) {
+    std::memcpy(dst + static_cast<std::ptrdiff_t>(y) * img.stride,
+                src.data() + y * rowBytes, rowBytes);
+  }
+}
+
+class TpuRuntime final : public Runtime {
+ public:
+  TpuRuntime(int deviceId, const char *modelPath)
+      : m_engine(deviceId, modelPath) {}
+
+  void processImage(const Image &in, const Image &out) override {
+    validate(in, m_engine.inputWidth(), m_engine.inputHeight(), "input");
+    validate(out, m_engine.outputWidth(), m_engine.outputHeight(),
+             "output");
+    copyToContiguous(in, &m_inBuffer);
+    m_engine.process(m_inBuffer.data(), m_inBuffer.size(), &m_outBuffer);
+    copyFromContiguous(m_outBuffer, out);
+  }
+
+  void reset() override { m_engine.reset(); }
+
+  std::size_t getInputWidth() const noexcept override {
+    return m_engine.inputWidth();
+  }
+  std::size_t getInputHeight() const noexcept override {
+    return m_engine.inputHeight();
+  }
+  std::size_t getOutputWidth() const noexcept override {
+    return m_engine.outputWidth();
+  }
+  std::size_t getOutputHeight() const noexcept override {
+    return m_engine.outputHeight();
+  }
+
+ private:
+  static void validate(const Image &img, std::size_t width,
+                       std::size_t height, const char *what) {
+    if (img.location != DataLocation::CPU) {
+      throw std::runtime_error(
+          std::string("Only CPU frames are supported for ") + what);
+    }
+    if (img.ptr == nullptr) {
+      throw std::runtime_error(std::string("Null ") + what + " frame");
+    }
+    if (img.width != width || img.height != height) {
+      throw std::runtime_error(
+          std::string("Invalid ") + what + " dimensions: got " +
+          std::to_string(img.width) + 'x' + std::to_string(img.height) +
+          ", expected " + std::to_string(width) + 'x' +
+          std::to_string(height));
+    }
+  }
+
+  PythonEngine m_engine;
+  std::vector<std::uint8_t> m_inBuffer;
+  std::vector<std::uint8_t> m_outBuffer;
+};
+
+}  // namespace
+
+Runtime *createRuntime(int deviceId, const char *modelPath) {
+  JOSHUPSCALE_LOG_INFO << "createRuntime(device=" << deviceId
+                       << ", model=" << modelPath << ')';
+  return new TpuRuntime(deviceId, modelPath);
+}
+
+}  // namespace core
+}  // namespace JoshUpscale

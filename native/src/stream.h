@@ -1,0 +1,56 @@
+// Sequential video stream with seek handling — the C++ analog of the
+// reference AviSynth filter's frame-order logic
+// (avisynth_plugin/src/main.cc:75-157): monotone serving, bounded
+// backtrack via re-reading earlier frames, stream reset + warm-up on
+// larger jumps, LRU cache of recent outputs.
+
+#ifndef JOSHUPSCALE_SRC_STREAM_H_
+#define JOSHUPSCALE_SRC_STREAM_H_
+
+#include <cstdint>
+#include <functional>
+#include <list>
+#include <unordered_map>
+#include <vector>
+
+#include "joshupscale/core.h"
+
+namespace JoshUpscale {
+namespace core {
+
+class VideoStream {
+ public:
+  static constexpr int kMaxBacktrack = 16;
+
+  // `source(index, buffer)` must fill `buffer` with the contiguous BGR24
+  // input frame `max(index, 0)`.
+  using Source =
+      std::function<void(int, std::vector<std::uint8_t> *)>;
+
+  VideoStream(Runtime *runtime, Source source,
+              int maxBacktrack = kMaxBacktrack)
+      : m_runtime(runtime),
+        m_source(std::move(source)),
+        m_maxBacktrack(maxBacktrack) {}
+
+  // Upscaled frame n (contiguous BGR24), enforcing sequential
+  // recurrence.
+  const std::vector<std::uint8_t> &getFrame(int n);
+
+ private:
+  void reset(int startFrame);
+  const std::vector<std::uint8_t> &processNext(int n);
+
+  Runtime *m_runtime;
+  Source m_source;
+  int m_maxBacktrack;
+  int m_nextFrame = 0;
+  std::list<std::pair<int, std::vector<std::uint8_t>>> m_cache;
+  std::vector<std::uint8_t> m_inBuffer;
+  std::vector<std::uint8_t> m_lastOutput;
+};
+
+}  // namespace core
+}  // namespace JoshUpscale
+
+#endif  // JOSHUPSCALE_SRC_STREAM_H_

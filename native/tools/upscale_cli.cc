@@ -1,0 +1,84 @@
+// Offline frame-stream upscaler — the native serving path end-to-end.
+//
+// Reads raw BGR24 frames from a file (or /dev/stdin), runs them through
+// the recurrent runtime in order, writes raw upscaled frames out.  The
+// functional analog of the reference's AviSynth filter main loop plus
+// the Python TRT runner (scripts/inference/tensorrt/inference.py):
+// sequential recurrence with on-device state, per-frame latency report.
+//
+// Usage: upscale_cli <model_package> <in.raw> <out.raw> [num_frames]
+//        (frame size is taken from the model; device 0)
+
+#include <chrono>
+#include <cstdio>
+#include <cstring>
+#include <memory>
+#include <vector>
+
+#include "joshupscale/core.h"
+
+int main(int argc, char **argv) {
+  if (argc < 4) {
+    std::fprintf(
+        stderr,
+        "usage: %s <model_package> <in.raw> <out.raw> [num_frames]\n",
+        argv[0]);
+    return 2;
+  }
+  try {
+    std::unique_ptr<JoshUpscale::core::Runtime> runtime(
+        JoshUpscale::core::createRuntime(0, argv[1]));
+    std::size_t inW = runtime->getInputWidth();
+    std::size_t inH = runtime->getInputHeight();
+    std::size_t outW = runtime->getOutputWidth();
+    std::size_t outH = runtime->getOutputHeight();
+    std::size_t inSize = inW * inH * 3;
+    std::size_t outSize = outW * outH * 3;
+
+    std::FILE *fin = std::fopen(argv[2], "rb");
+    if (fin == nullptr) {
+      std::fprintf(stderr, "cannot open %s\n", argv[2]);
+      return 1;
+    }
+    std::FILE *fout = std::fopen(argv[3], "wb");
+    if (fout == nullptr) {
+      std::fprintf(stderr, "cannot open %s\n", argv[3]);
+      std::fclose(fin);
+      return 1;
+    }
+    long maxFrames = argc > 4 ? std::atol(argv[4]) : -1;
+
+    std::vector<std::uint8_t> inBuf(inSize);
+    std::vector<std::uint8_t> outBuf(outSize);
+    JoshUpscale::core::Image inImg{
+        inBuf.data(), JoshUpscale::core::DataLocation::CPU,
+        static_cast<std::ptrdiff_t>(inW * 3), inW, inH};
+    JoshUpscale::core::Image outImg{
+        outBuf.data(), JoshUpscale::core::DataLocation::CPU,
+        static_cast<std::ptrdiff_t>(outW * 3), outW, outH};
+
+    long frames = 0;
+    double totalSeconds = 0.0;
+    while (maxFrames < 0 || frames < maxFrames) {
+      if (std::fread(inBuf.data(), 1, inSize, fin) != inSize) {
+        break;
+      }
+      auto start = std::chrono::steady_clock::now();
+      runtime->processImage(inImg, outImg);
+      totalSeconds += std::chrono::duration<double>(
+                          std::chrono::steady_clock::now() - start)
+                          .count();
+      std::fwrite(outBuf.data(), 1, outSize, fout);
+      ++frames;
+    }
+    std::fclose(fin);
+    std::fclose(fout);
+    std::fprintf(stderr, "processed %ld frames, avg %.3f ms/frame\n",
+                 frames, frames > 0 ? totalSeconds / frames * 1e3 : 0.0);
+    return 0;
+  } catch (...) {
+    std::fprintf(stderr, "error: %s\n",
+                 JoshUpscale::core::getExceptionString().c_str());
+    return 1;
+  }
+}

@@ -1,0 +1,102 @@
+"""Native C++ runtime tests: build the library + CLI, stream frames
+through the embedded-Python engine, and cross-check against the Python
+engine output."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+BUILD = os.path.join(NATIVE, "build")
+CLI = os.path.join(BUILD, "upscale_cli")
+
+
+needs_toolchain = pytest.mark.skipif(
+    shutil.which("cmake") is None or shutil.which("g++") is None,
+    reason="no C++ toolchain",
+)
+
+
+def _build():
+    if not os.path.exists(os.path.join(BUILD, "build.ninja")):
+        gen = ["-G", "Ninja"] if shutil.which("ninja") else []
+        subprocess.run(
+            ["cmake", "-S", NATIVE, "-B", BUILD, *gen],
+            check=True, capture_output=True,
+        )
+    subprocess.run(
+        ["cmake", "--build", BUILD], check=True, capture_output=True
+    )
+
+
+@pytest.fixture(scope="module")
+def package(tmp_path_factory):
+    from joshupscale_tpu.export.package import save_package
+    from joshupscale_tpu.models import create_models
+
+    config = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "inference": {
+            "name": "inference",
+            "generator": {"model": "generator"},
+            "flow": {"model": "flow"},
+            "skip_processing": False,
+            "frame_height": 16,
+            "frame_width": 24,
+        },
+    }
+    models = create_models(config, seed=0)
+    path = tmp_path_factory.mktemp("pkg") / "model"
+    save_package(str(path), config, models["inference"])
+    return str(path), models["inference"]
+
+
+@needs_toolchain
+def test_native_cli_matches_python_engine(package, tmp_path):
+    _build()
+    pkg_path, built = package
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (4, 16, 24, 3), np.uint8)
+    in_raw = tmp_path / "in.raw"
+    out_raw = tmp_path / "out.raw"
+    frames.tofile(in_raw)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [CLI, pkg_path, str(in_raw), str(out_raw)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode == 0, result.stderr
+    assert "processed 4 frames" in result.stderr
+
+    out = np.fromfile(out_raw, np.uint8)
+    assert out.size == 4 * 64 * 96 * 3
+
+    from joshupscale_tpu.runtime.engine import Engine
+
+    eng = Engine(built.obj, built.params)
+    ref = np.concatenate([eng.process(f).ravel() for f in frames])
+    # Separate processes may get different XLA CPU codegen; allow 1 ulp
+    # around uint8 truncation boundaries.
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+@needs_toolchain
+def test_native_cli_bad_model_path(tmp_path):
+    _build()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [CLI, str(tmp_path / "nonexistent"), "/dev/null", "/dev/null"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert result.returncode != 0
+    assert "error:" in result.stderr
