@@ -63,8 +63,16 @@ def flow_resnet_apply(
     activation="relu",
     num_res_blocks: Optional[int] = None,
     mut: Optional[Mutables] = None,
+    s2d_output: bool = False,
 ):
-    """Apply resnet FNet to a list of frames -> (N, 4H, 4W, 2) flow."""
+    """Apply resnet FNet to a list of frames -> (N, 4H, 4W, 2) flow.
+
+    ``s2d_output=True`` skips the final depth_to_space and returns the
+    raw 32-channel head (N, H, W, 32) -- the s2d form of the flow
+    (channel ``(ry*4+rx)*2 + {y,x}``), consumed directly by
+    ``dense_image_warp_s2d`` on the serving fast path (no HR-layout
+    reshape on TPU).
+    """
     mut = mut or Mutables(False)
     act = get_activation(activation)
     if num_res_blocks is None:
@@ -77,6 +85,8 @@ def flow_resnet_apply(
         name = f"block_{i + 1}"
         out = res_block_apply(params[name], out, activation, mut, name)
     out = conv2d(params["conv_2"], out)
+    if s2d_output:
+        return out
     return depth_to_space(out, 4)
 
 
@@ -155,6 +165,7 @@ def flow_autoencoder_apply(
     activation="relu",
     filters: Optional[List[int]] = None,
     mut: Optional[Mutables] = None,
+    s2d_output: bool = False,
 ):
     """Apply autoencoder FNet: down (conv-conv-pool) x K, up
     (conv-conv-bilinear2x) x K, optional mid conv, 32ch head, d2s(4)."""
@@ -178,4 +189,6 @@ def flow_autoencoder_apply(
         out = mut.bn(params["bn_1"], "bn_1", out)
         out = act(out)
     out = conv2d(params["conv_2"], out)
+    if s2d_output:
+        return out
     return depth_to_space(out, 4)

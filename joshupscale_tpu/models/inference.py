@@ -28,8 +28,15 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import jax.numpy as jnp
 
 from joshupscale_tpu.models.common import Mutables
-from joshupscale_tpu.ops import dense_image_warp, postprocess, preprocess
+from joshupscale_tpu.ops import (
+    dense_image_warp,
+    depth_to_space,
+    postprocess,
+    preprocess,
+    space_to_depth,
+)
 from joshupscale_tpu.ops.image import brightness as brightness_op
+from joshupscale_tpu.ops.warp import dense_image_warp_s2d
 
 State = Dict[str, Any]
 
@@ -71,6 +78,10 @@ class InferenceModel:
     frame_moving_avg: Any = None
     output_flow: bool = False
     remove_flow: bool = False
+    # Serving fast path: keep the recurrence in space-to-depth form
+    # (state pre_gen is (N, H, W, 48); one depth_to_space per frame for
+    # the display output).  Ignored under training-mode Mutables.
+    s2d_mode: bool = False
 
     # -- geometry ----------------------------------------------------------
 
@@ -107,8 +118,12 @@ class InferenceModel:
             return {}
         h, w = self.frame_height, self.frame_width
         ph, pw = self.padded_height, self.padded_width
+        if self.s2d_mode:
+            pre_gen = jnp.zeros((batch_size, h, w, 48), dtype)
+        else:
+            pre_gen = jnp.zeros((batch_size, h * 4, w * 4, 3), dtype)
         return {
-            "pre_gen": jnp.zeros((batch_size, h * 4, w * 4, 3), dtype),
+            "pre_gen": pre_gen,
             "last_frames": [
                 jnp.zeros((batch_size, ph, pw, 3), dtype)
                 for _ in range(self.num_last_frames)
@@ -187,18 +202,31 @@ class InferenceModel:
             cur_pad = cur_pad - bright
         cur_pad = self._pad(cur_pad)
 
+        # s2d serving fast path: the whole recurrence stays in
+        # space-to-depth form -- flow comes out of the FNet head un-d2s'd,
+        # the warp gathers from a block-widened s2d table, the generator
+        # tail emits s2d phase channels, and only the display output does
+        # ONE depth_to_space per frame.  Saves ~13 ms/frame of layout
+        # shuffles + ~7 ms of gather at 1080p on v5e vs the pixel path.
+        s2d = self.s2d_mode and not mut.training
+
         last_frames = [f.astype(cdt) for f in state["last_frames"]]
         flow = self.flow_apply(params["flow"], [cur_pad] + last_frames,
-                               mut=mut.scoped("flow"))
-        flow = self._unpad_flow(flow)
+                               mut=mut.scoped("flow"), s2d_output=s2d)
+        flow = self._unpad_flow_s2d(flow) if s2d else (
+            self._unpad_flow(flow))
 
         pre_gen = state["pre_gen"].astype(cdt)
-        pre_warp = dense_image_warp(pre_gen, flow)
+        if s2d:
+            pre_warp = dense_image_warp_s2d(pre_gen, flow)
+        else:
+            pre_warp = dense_image_warp(pre_gen, flow)
         if self.normalize_brightness:
             pre_warp = pre_warp + bright
 
         output_raw = self.generator_apply(
-            params["generator"], pre, pre_warp, mut=mut.scoped("generator")
+            params["generator"], pre, pre_warp,
+            mut=mut.scoped("generator"), s2d_output=s2d,
         )
         if self.frame_moving_avg is not None:
             # Temporal stabilization baked into the recurrence at the
@@ -206,9 +234,12 @@ class InferenceModel:
             # clip output feeds both display and state).
             from joshupscale_tpu.ops.temporal import frame_moving_avg
 
-            output_raw = frame_moving_avg(
-                output_raw, pre_warp, self.frame_moving_avg
-            )
+            if s2d:
+                output_raw = self._moving_avg_s2d(output_raw, pre_warp)
+            else:
+                output_raw = frame_moving_avg(
+                    output_raw, pre_warp, self.frame_moving_avg
+                )
         output_denorm = output_raw
         if self.normalize_brightness:
             output_raw = output_raw - bright
@@ -217,14 +248,29 @@ class InferenceModel:
             # Debug variant: display the warped frame instead.
             output_denorm = pre_warp
 
-        outputs = {
-            "output_denorm": output_denorm.astype(jnp.float32),
-            "output_raw": output_raw.astype(jnp.float32),
-            "pre_warp": pre_warp.astype(jnp.float32),
-            "flow": flow.astype(jnp.float32),
-        }
-        if not self.skip_processing:
-            outputs["output"] = postprocess(output_denorm)
+        if s2d:
+            # HR views (dead-code-eliminated when unused, e.g. in the
+            # serving engine which only consumes "output").
+            display = depth_to_space(output_denorm, 4)
+            outputs = {
+                "output_denorm": display.astype(jnp.float32),
+                "output_raw": depth_to_space(
+                    output_raw, 4).astype(jnp.float32),
+                "pre_warp": depth_to_space(
+                    pre_warp, 4).astype(jnp.float32),
+                "flow": depth_to_space(flow, 4).astype(jnp.float32),
+            }
+            if not self.skip_processing:
+                outputs["output"] = postprocess(display)
+        else:
+            outputs = {
+                "output_denorm": output_denorm.astype(jnp.float32),
+                "output_raw": output_raw.astype(jnp.float32),
+                "pre_warp": pre_warp.astype(jnp.float32),
+                "flow": flow.astype(jnp.float32),
+            }
+            if not self.skip_processing:
+                outputs["output"] = postprocess(output_denorm)
 
         new_state = {
             "pre_gen": output_raw.astype(state["pre_gen"].dtype),
@@ -232,3 +278,34 @@ class InferenceModel:
             + state["last_frames"][:-1],
         }
         return outputs, new_state
+
+    def _unpad_flow_s2d(self, flow: jnp.ndarray) -> jnp.ndarray:
+        ph, pw = self.padded_height, self.padded_width
+        h, w = self.frame_height, self.frame_width
+        if ph == h and pw == w:
+            return flow
+        oy = (ph - h) // 2
+        ox = (pw - w) // 2
+        return flow[:, oy:oy + h, ox:ox + w, :]
+
+    def _moving_avg_s2d(self, gen: jnp.ndarray,
+                        pre_warp: jnp.ndarray) -> jnp.ndarray:
+        """frame_moving_avg on s2d tensors.
+
+        window == 0 is layout-independent (global mean + elementwise):
+        run it on a (N, Hb, Wb*16, 3) reshape view.  Windowed mode needs
+        the HR pixel grid: round-trip through depth_to_space.
+        """
+        from joshupscale_tpu.ops.temporal import frame_moving_avg
+
+        cfg = self.frame_moving_avg
+        if cfg.window == 0:
+            n, hb, wb, cs = gen.shape
+            view = (n, hb, wb * (cs // 3), 3)
+            out = frame_moving_avg(
+                gen.reshape(view), pre_warp.reshape(view), cfg
+            )
+            return out.reshape(gen.shape)
+        gen_hr = depth_to_space(gen, 4)
+        warp_hr = depth_to_space(pre_warp, 4)
+        return space_to_depth(frame_moving_avg(gen_hr, warp_hr, cfg), 4)

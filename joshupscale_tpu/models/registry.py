@@ -135,7 +135,8 @@ def _build_inference(key, *, generator_model: BuiltModel,
                      frame_height=None, frame_width=None,
                      flow_pad_factor=None, normalize_brightness=False,
                      compute_dtype=jnp.float32, frame_moving_avg=None,
-                     output_flow=False, remove_flow=False, **_):
+                     output_flow=False, remove_flow=False, s2d_mode=True,
+                     **_):
     if frame_moving_avg is not None and not hasattr(
         frame_moving_avg, "strength"
     ):
@@ -159,6 +160,7 @@ def _build_inference(key, *, generator_model: BuiltModel,
         frame_moving_avg=frame_moving_avg,
         output_flow=output_flow,
         remove_flow=remove_flow,
+        s2d_mode=s2d_mode,
     )
     params = {"generator": generator_model.params}
     if flow_model is not None:
@@ -317,7 +319,7 @@ def create_models(config: Dict[str, Any],
         weights = args.pop("weights", None)
         freeze = args.pop("freeze", None)
         copy_weights = args.pop("copy_weights", None)
-        args.pop("copy_variables", None)
+        copy_variables = args.pop("copy_variables", None)
         if "dtype" in args and isinstance(args["dtype"], str):
             args["dtype"] = DTYPES[args["dtype"]]
         if "compute_dtype" in args and isinstance(args["compute_dtype"], str):
@@ -339,6 +341,13 @@ def create_models(config: Dict[str, Any],
         if copy_weights is not None:
             src = build(copy_weights)
             model.params = _copy_matching(model.params, src.params)
+        if copy_variables is not None:
+            # Structural migration across architecture changes
+            # (reference models.py:1166-1186 + utils.py:178-348).
+            from joshupscale_tpu.utils.migrate import copy_model_variables
+
+            src = build(copy_variables)
+            model.params = copy_model_variables(model.params, src.params)
         models[name] = model
         return model
 

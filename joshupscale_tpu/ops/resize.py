@@ -94,12 +94,15 @@ def upscale_bilinear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return out.reshape(n, h * s, w * s, c)
 
 
-def _upscale_bilinear_conv(x: jnp.ndarray, s: int) -> jnp.ndarray:
+def _upscale_bilinear_conv(x: jnp.ndarray, s: int,
+                           skip_d2s: bool = False) -> jnp.ndarray:
     """Exact TF1 bilinear upscale as edge-pad + 2x2 conv + depth_to_space.
 
     Kernel: K[dy, dx, c, (ry*s + rx)*C + c] = wy[ry, dy] * wx[rx, dx]
     with wy[r] = (1 - r/s, r/s); channel order matches
-    ``tf.nn.depth_to_space``.
+    ``tf.nn.depth_to_space``.  ``skip_d2s=True`` returns the s2d-form
+    phase channels (N, H, W, s*s*C) for consumers that stay in s2d
+    space.
     """
     import jax
 
@@ -127,6 +130,8 @@ def _upscale_bilinear_conv(x: jnp.ndarray, s: int) -> jnp.ndarray:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )  # (N, H, W, s*s*C)
+    if skip_d2s:
+        return out
     return depth_to_space(out, s)
 
 

@@ -229,6 +229,7 @@ def test_inference_step_parity(rng):
             "skip_processing": False,
             "frame_height": 8,
             "frame_width": 12,
+            "s2d_mode": False,
         },
     }
     models = create_models(config, seed=7)

@@ -63,7 +63,8 @@ def test_inference_step(models):
     assert outputs["output"].shape == (1, 64, 80, 3)
     assert outputs["output"].dtype == jnp.uint8
     assert outputs["output_raw"].shape == (1, 64, 80, 3)
-    assert new_state["pre_gen"].shape == (1, 64, 80, 3)
+    # Default inference runs the s2d fast path: state is s2d-form.
+    assert new_state["pre_gen"].shape == (1, 16, 20, 48)
     assert len(new_state["last_frames"]) == 3
 
     # Shift register: new last_frames[0] must equal the preprocessed frame,
@@ -94,9 +95,13 @@ def test_inference_step_jits_and_state_threads(models):
             rng.integers(0, 256, (1, 16, 20, 3)), dtype=jnp.uint8
         )
         outputs, state = step(built.params, frame, state)
-        # pre_gen state must be the raw output fed forward.
-        np.testing.assert_array_equal(
-            np.asarray(state["pre_gen"]), np.asarray(outputs["output_raw"])
+        # pre_gen state must be the raw output fed forward (state is the
+        # s2d form of the HR output view).
+        from joshupscale_tpu.ops import depth_to_space
+
+        np.testing.assert_allclose(
+            np.asarray(depth_to_space(state["pre_gen"], 4)),
+            np.asarray(outputs["output_raw"]), atol=1e-6,
         )
         if prev_pre_gen is not None:
             assert not np.array_equal(

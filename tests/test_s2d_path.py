@@ -1,0 +1,96 @@
+"""s2d serving fast path vs pixel path: numerical equivalence.
+
+The s2d path re-expresses the same arithmetic in space-to-depth layout
+(warp gathers from a block-widened table with a separable 5x5 combine,
+the generator tail uses block-diagonal 1x1 convs, the FNet head skips
+its depth_to_space).  Outputs must match the pixel path to fp32
+round-off.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from joshupscale_tpu.models import create_models
+from joshupscale_tpu.ops import depth_to_space, space_to_depth
+from joshupscale_tpu.ops.warp import dense_image_warp, dense_image_warp_s2d
+
+
+def _models(s2d):
+    config = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "inference": {
+            "name": "inference",
+            "generator": {"model": "generator"},
+            "flow": {"model": "flow"},
+            "skip_processing": False,
+            "frame_height": 8,
+            "frame_width": 12,
+            "s2d_mode": s2d,
+        },
+    }
+    return create_models(config, seed=3)["inference"]
+
+
+def test_warp_s2d_matches_pixel(rng):
+    image = jnp.asarray(rng.random((2, 32, 48, 3), np.float32) - 0.5)
+    flow = jnp.asarray(
+        (rng.random((2, 32, 48, 2), np.float32) * 12 - 6).astype(
+            np.float32))
+    ref = dense_image_warp(image, flow)
+
+    image_s2d = space_to_depth(image, 4)
+    flow_s2d = space_to_depth(flow, 4)
+    out_s2d = dense_image_warp_s2d(image_s2d, flow_s2d)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(out_s2d, 4)), np.asarray(ref),
+        atol=1e-6)
+
+
+def test_warp_s2d_extreme_flow(rng):
+    """Out-of-range queries edge-clamp identically."""
+    image = jnp.asarray(rng.random((1, 16, 16, 3), np.float32))
+    flow = jnp.asarray(
+        (rng.random((1, 16, 16, 2), np.float32) * 100 - 50).astype(
+            np.float32))
+    ref = dense_image_warp(image, flow)
+    out = depth_to_space(
+        dense_image_warp_s2d(space_to_depth(image, 4),
+                             space_to_depth(flow, 4)), 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6)
+
+
+def test_inference_s2d_matches_pixel_path(rng):
+    pix = _models(False)
+    s2d = _models(True)
+    # Same seed => identical params.
+    for a, b in zip(jax.tree_util.tree_leaves(pix.params),
+                    jax.tree_util.tree_leaves(s2d.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    frames = rng.integers(0, 256, (5, 1, 8, 12, 3)).astype(np.uint8)
+    state_p = pix.obj.init_state(1)
+    state_s = s2d.obj.init_state(1)
+    for t in range(5):
+        frame = jnp.asarray(frames[t])
+        out_p, state_p = pix.obj.apply(pix.params, frame, state_p)
+        out_s, state_s = s2d.obj.apply(s2d.params, frame, state_s)
+        np.testing.assert_allclose(
+            np.asarray(out_s["output_raw"]),
+            np.asarray(out_p["output_raw"]),
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s["pre_warp"]),
+            np.asarray(out_p["pre_warp"]),
+            atol=2e-5,
+        )
+        # u8 display output: 1-ulp flips allowed at truncation edges.
+        diff = np.abs(
+            np.asarray(out_s["output"]).astype(int)
+            - np.asarray(out_p["output"]).astype(int))
+        assert diff.max() <= 1

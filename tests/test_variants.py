@@ -27,6 +27,7 @@ def _config(**inference_extra):
             "skip_processing": False,
             "frame_height": 8,
             "frame_width": 12,
+            "s2d_mode": False,
             **inference_extra,
         },
     }
