@@ -138,7 +138,13 @@ def _tail_s2d(params, frame, out, act, mut):
     - the bilinear skip uses the phase-channel conv form directly
       (already (ry, rx, c)-ordered, see ops.resize).
     """
-    k1 = params["conv_trans_1"]["kernel"]  # (2, 2, 32, C_in)
+    def _deconv_kernel(layer):
+        if "kernel_q" in layer:
+            return (layer["kernel_q"].astype(jnp.float32)
+                    * layer["kernel_scale"].astype(jnp.float32))
+        return layer["kernel"]
+
+    k1 = _deconv_kernel(params["conv_trans_1"])  # (2, 2, 32, C_in)
     _, _, mid_ch, in_ch = k1.shape
     w1 = k1.transpose(3, 0, 1, 2).reshape(in_ch, 4 * mid_ch)
     x = jnp.einsum("nhwi,io->nhwo", out, w1.astype(out.dtype),
@@ -153,7 +159,7 @@ def _tail_s2d(params, frame, out, act, mut):
     x = act(x)
 
     # Block-diagonal second deconv with d2s4-ordered output channels.
-    k2 = params["conv_trans_2"]["kernel"]  # (2, 2, 3, 32)
+    k2 = _deconv_kernel(params["conv_trans_2"])  # (2, 2, 3, 32)
     _, _, out_ch, _ = k2.shape
     w2 = jnp.zeros((4 * mid_ch, 16 * out_ch), k2.dtype)
     for dy1 in range(2):

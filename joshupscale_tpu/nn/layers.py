@@ -71,7 +71,16 @@ def conv2d(
     stride: int = 1,
     padding: str = "SAME",
 ) -> jnp.ndarray:
-    """NHWC conv with HWIO kernel. Output dtype follows input dtype."""
+    """NHWC conv with HWIO kernel. Output dtype follows input dtype.
+
+    Quantized path: a param dict carrying ``kernel_q`` (int8, per-output-
+    channel symmetric) + ``kernel_scale`` runs the conv on the int8 MXU
+    (int8 x int8 -> int32) with dynamically (or statically, via
+    ``act_scale``) quantized activations -- the TPU-native analog of the
+    reference's TensorRT int8 engines (see export/quantize.py).
+    """
+    if "kernel_q" in params:
+        return _conv2d_int8(params, x, stride, padding)
     kernel = params["kernel"].astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x,
@@ -83,6 +92,32 @@ def conv2d(
     if "bias" in params:
         out = out + params["bias"].astype(x.dtype)
     return out
+
+
+def _conv2d_int8(params, x, stride, padding):
+    if "act_scale" in params:
+        act_scale = params["act_scale"].astype(jnp.float32)
+    else:
+        # Dynamic per-tensor symmetric activation scale (computed
+        # on-device in the same program; replaces offline calibration).
+        act_scale = jnp.maximum(
+            jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6) / 127.0
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
+    ).astype(jnp.int8)
+    out = jax.lax.conv_general_dilated(
+        xq,
+        params["kernel_q"],
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    scale = (act_scale * params["kernel_scale"].astype(jnp.float32))
+    out = out.astype(jnp.float32) * scale
+    if "bias" in params:
+        out = out + params["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +154,16 @@ def conv2d_transpose_2x(params, x: jnp.ndarray) -> jnp.ndarray:
     ``(dy*2+dx)*out_ch + o`` channels + depth_to_space(2) -- matching
     tf.nn.depth_to_space channel order.
     """
-    kernel = params["kernel"]  # (2, 2, O, I)
+    if "kernel_q" in params:
+        # Weight-only dequant for deconvs (tiny FLOP share; the int8 MXU
+        # win is in the 3x3 conv stack).  Scale broadcasts over the
+        # quantization axis (the kernel's last dim).
+        kernel = (
+            params["kernel_q"].astype(jnp.float32)
+            * params["kernel_scale"].astype(jnp.float32)
+        )
+    else:
+        kernel = params["kernel"]  # (2, 2, O, I)
     _, _, out_ch, in_ch = kernel.shape
     # (2, 2, O, I) -> (I, 2*2*O) with channel index (dy*2+dx)*O + o.
     w = kernel.transpose(3, 0, 1, 2).reshape(in_ch, 4 * out_ch)

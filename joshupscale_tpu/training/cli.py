@@ -193,6 +193,8 @@ def train(config: Dict[str, Any], seed: int = 0,
         monitor=monitor,
         early_stopping_patience=train_cfg.get("early_stopping_patience"),
         epoch_callback=play_cb,
+        tensorboard_dir=(os.path.join(log_dir, "tb")
+                         if train_cfg.get("tensorboard", True) else None),
     )
 
     export_cfg = config.get("export")

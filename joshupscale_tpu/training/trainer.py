@@ -389,6 +389,28 @@ class MeanAccumulator:
         self._counts.clear()
 
 
+class TensorBoardLogger:
+    """Scalar summaries via tf.summary (reference logs through Keras'
+    TensorBoard callback).  No-op if tensorflow is unavailable."""
+
+    def __init__(self, log_dir: str):
+        try:
+            import tensorflow as tf
+
+            self._writer = tf.summary.create_file_writer(log_dir)
+            self._tf = tf
+        except Exception:  # pragma: no cover - tf missing
+            self._writer = None
+
+    def scalars(self, metrics: Dict[str, float], step: int) -> None:
+        if self._writer is None:
+            return
+        with self._writer.as_default():
+            for k, v in metrics.items():
+                self._tf.summary.scalar(k, v, step=step)
+            self._writer.flush()
+
+
 def fit(
     step_fn: Callable,
     state,
@@ -403,6 +425,7 @@ def fit(
     early_stopping_patience: Optional[int] = None,
     log_fn: Callable[[str], None] = print,
     epoch_callback: Optional[Callable] = None,
+    tensorboard_dir: Optional[str] = None,
 ):
     """Generic epoch loop: train, validate, checkpoint best+latest.
 
@@ -414,6 +437,7 @@ def fit(
     best = float("inf")
     stale = 0
     acc = MeanAccumulator()
+    tb = TensorBoardLogger(tensorboard_dir) if tensorboard_dir else None
     for epoch in range(epochs):
         acc.reset()
         t0 = time.time()
@@ -440,6 +464,12 @@ def fit(
             )
 
         history.append(entry)
+        if tb is not None:
+            tb.scalars(
+                {k: v for k, v in entry.items()
+                 if k not in ("epoch",) and isinstance(v, float)},
+                step=epoch,
+            )
         log_fn(
             f"epoch {epoch}: "
             + " ".join(f"{k}={v:.4g}" for k, v in entry.items()
