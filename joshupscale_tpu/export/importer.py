@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import numpy as np
 
 
@@ -111,68 +112,142 @@ _KERAS_VAR_MAP = {
 }
 
 
+# Keras save order of a layer's weights, per layer kind.
+_KERAS_WEIGHT_ORDER = {
+    "conv": ("kernel", "bias"),
+    "bn": ("gamma", "beta", "moving_mean", "moving_variance"),
+    "dense": ("kernel", "bias"),
+}
+
+
+def _layer_kind(subtree: dict):
+    keys = set(subtree) - {"_meta"}
+    if "gamma" in keys:
+        return "bn"
+    if "kernel" in keys:
+        return "conv"
+    return None
+
+
 def load_keras_h5(path: str, template, scope: str = ""):
     """Load a Keras ``.h5`` weights file into a param tree.
 
-    The reference's layer names (``conv_1``, ``block_3_bn_2``...) map to
-    nested paths in our tree: ``block_3_bn_2`` -> ``block_3 / bn_2``.
+    Supports both formats the reference ecosystem produces:
+
+    - Keras 3: ``layers/<auto>/vars/<i>`` datasets; the TRUE layer name
+      lives in the ``vars`` group's ``name`` attribute, and weights are
+      positional in the layer's canonical order (conv: kernel[, bias];
+      BN: gamma, beta, moving_mean, moving_variance).
+    - Legacy Keras 2 (what the reference's train_local.py wrote):
+      ``model_weights/<layer>/<layer>/<var>:0`` with named variables.
+
+    Layer names map to tree paths: ``block_3_bn_2`` -> ``block_3.bn_2``.
+    ``scope`` strips a leading prefix (e.g. ``generator_``) from h5
+    layer names first.
     """
     import h5py
 
-    flat_template = flatten_params(template)
-    flat: Dict[str, np.ndarray] = {}
-
-    def visit(name, obj):
-        if not hasattr(obj, "shape"):
-            return
-        arr = np.asarray(obj)
-        # h5 paths look like 'layer_name/vars/0' (Keras 3) or
-        # 'model_weights/<layer>/<layer>/kernel:0' (legacy).
-        parts = [p for p in name.split("/") if p not in ("vars",)]
-        flat[name] = arr
-        del parts
+    # layer name -> either {varname: array} (legacy) or [arrays] (Keras3)
+    named: Dict[str, Dict[str, np.ndarray]] = {}
+    positional: Dict[str, list] = {}
 
     with h5py.File(path, "r") as f:
+        def visit(name, obj):
+            if isinstance(obj, h5py.Group) and name.endswith("vars"):
+                lname = obj.attrs.get("name")
+                if lname is None:
+                    return
+                if isinstance(lname, bytes):
+                    lname = lname.decode()
+                arrs = [
+                    np.asarray(obj[k])
+                    for k in sorted(obj.keys(), key=lambda s: int(s))
+                ]
+                if arrs:
+                    positional[str(lname)] = arrs
+            elif hasattr(obj, "shape") and ":" in name.rsplit(
+                "/", 1
+            )[-1]:
+                parts = name.replace(":0", "").split("/")
+                var = parts[-1]
+                layer = parts[-2]
+                named.setdefault(layer, {})[var] = np.asarray(obj)
+
         f.visititems(visit)
 
-    # Heuristic mapping: match by (normalized layer path, shape).
-    mapped: Dict[str, np.ndarray] = {}
-    unmatched = dict(flat_template)
-    for h5name, arr in flat.items():
-        norm = _normalize_h5_name(h5name)
-        for tpath in list(unmatched):
-            if _paths_compatible(norm, tpath) and tuple(arr.shape) == tuple(
-                unmatched[tpath].shape
+    def lookup(layer_name: str):
+        candidates = [layer_name]
+        if scope:
+            candidates.insert(0, f"{scope}{layer_name}")
+        for cand in candidates:
+            if cand in positional:
+                return ("pos", positional[cand])
+            if cand in named:
+                return ("named", named[cand])
+        return None
+
+    unmatched = []
+
+    def fill(subtree, prefix):
+        if not isinstance(subtree, dict):
+            return subtree
+        kind = _layer_kind(subtree)
+        if kind is None:
+            return {
+                k: (v if k == "_meta" else fill(
+                    v, f"{prefix}.{k}" if prefix else str(k)))
+                for k, v in subtree.items()
+            }
+        layer_name = prefix.replace(".", "_")
+        found = lookup(layer_name)
+        if found is None:
+            unmatched.append(layer_name)
+            return subtree
+        how, data = found
+        out = dict(subtree)
+        if how == "named":
+            for key in subtree:
+                if key == "_meta":
+                    continue
+                if key not in data:
+                    unmatched.append(f"{layer_name}/{key}")
+                    continue
+                out[key] = data[key]
+        else:
+            order = [k for k in _KERAS_WEIGHT_ORDER[kind]
+                     if k in subtree]
+            if len(order) != len(data):
+                raise KeyError(
+                    f"Layer {layer_name}: checkpoint has {len(data)} "
+                    f"weights, model expects {len(order)} ({order})"
+                )
+            for key, arr in zip(order, data):
+                out[key] = arr
+        for key in subtree:
+            if key == "_meta":
+                continue
+            if tuple(np.shape(out[key])) != tuple(
+                np.shape(subtree[key])
             ):
-                mapped[tpath] = arr
-                del unmatched[tpath]
-                break
+                raise ValueError(
+                    f"Shape mismatch at {layer_name}/{key}: checkpoint "
+                    f"{np.shape(out[key])} vs model "
+                    f"{np.shape(subtree[key])}"
+                )
+        return out
+
+    result = fill(template, "")
     if unmatched:
-        missing = ", ".join(sorted(unmatched)[:8])
         raise KeyError(
-            f"Keras h5 import left {len(unmatched)} params unmatched "
-            f"(first: {missing})"
+            f"Keras h5 import left {len(unmatched)} layers unmatched "
+            f"(first: {', '.join(sorted(unmatched)[:8])})"
         )
-    return unflatten_into(template, {**flatten_params(template), **mapped})
+    import jax.numpy as jnp
 
-
-def _normalize_h5_name(name: str) -> str:
-    name = name.replace(":0", "")
-    parts = [p for p in name.split("/")
-             if p not in ("model_weights", "vars")]
-    # drop duplicated layer name (legacy format nests <layer>/<layer>/var)
-    dedup = []
-    for p in parts:
-        if not dedup or dedup[-1] != p:
-            dedup.append(p)
-    return ".".join(dedup)
-
-
-def _paths_compatible(h5path: str, tpath: str) -> bool:
-    """'block_3_bn_2.gamma' (h5) vs 'block_3.bn_2.gamma' (tree)."""
-    return h5path.replace(".", "_").replace("-", "_") == tpath.replace(
-        ".", "_"
-    ).replace("-", "_")
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+        result,
+    )
 
 
 def load_onnx(path: str, template):

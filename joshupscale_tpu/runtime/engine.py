@@ -95,6 +95,11 @@ class Engine:
             model.init_state(batch_size), self.device
         )
 
+        # Frame-feed latency counters (reference TRT runner prints the
+        # average seconds/frame, tensorrt/inference.py:245-251).
+        self.frames_processed = 0
+        self.total_process_seconds = 0.0
+
     # -- geometry ----------------------------------------------------------
 
     @property
@@ -133,12 +138,22 @@ class Engine:
 
     def process(self, frame: np.ndarray) -> np.ndarray:
         """Blocking single-frame upscale: (H, W, 3) or (N, H, W, 3) u8."""
+        start = time.perf_counter()
         squeeze = frame.ndim == 3
         out = self.process_async(frame)
         result = np.asarray(out)
         if squeeze:
             result = result[0]
+        self.frames_processed += 1
+        self.total_process_seconds += time.perf_counter() - start
         return result
+
+    @property
+    def avg_frame_seconds(self) -> float:
+        """Mean blocking latency of process() calls so far."""
+        if self.frames_processed == 0:
+            return 0.0
+        return self.total_process_seconds / self.frames_processed
 
     def process_clip(self, frames: np.ndarray) -> np.ndarray:
         """Offline mode: (T, N, H, W, 3) or (T, H, W, 3) -> scan over T."""

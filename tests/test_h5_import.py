@@ -1,0 +1,85 @@
+"""Keras .h5 weight import: build the reference topology in Keras, save
+weights, import into our param tree, and require identical outputs.
+
+This is the real-weights path: reference users bring Keras h5
+checkpoints (reference train_local.py saves weights .h5 + arch .json).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+tf = pytest.importorskip("tensorflow")
+keras = tf.keras
+layers = keras.layers
+
+from joshupscale_tpu.export.importer import load_keras_h5  # noqa: E402
+from joshupscale_tpu.models.fnet import (  # noqa: E402
+    flow_resnet_apply,
+    flow_resnet_init,
+)
+
+
+def _keras_flow(n_blocks, filters):
+    inputs = [keras.Input(shape=(None, None, 3)) for _ in range(4)]
+    x = layers.Concatenate()(inputs)
+    x = layers.Conv2D(filters, 3, padding="same", use_bias=False,
+                      name="conv_1")(x)
+    x = layers.BatchNormalization(name="bn_1")(x)
+    x = layers.ReLU()(x)
+    for i in range(n_blocks):
+        name = f"block_{i + 1}"
+        shortcut = x
+        x = layers.Conv2D(filters, 3, padding="same", use_bias=False,
+                          name=f"{name}_conv_1")(x)
+        x = layers.BatchNormalization(name=f"{name}_bn_1")(x)
+        x = layers.ReLU()(x)
+        x = layers.Conv2D(filters, 3, padding="same", use_bias=False,
+                          name=f"{name}_conv_2")(x)
+        x = layers.BatchNormalization(name=f"{name}_bn_2")(x)
+        x = layers.Add()([x, shortcut])
+        x = layers.ReLU()(x)
+    x = layers.Conv2D(32, 1, padding="same", name="conv_2")(x)
+    x = layers.Lambda(lambda t: tf.nn.depth_to_space(t, 4))(x)
+    return keras.Model(inputs, x)
+
+
+def test_h5_flow_import_roundtrip(rng, tmp_path):
+    n_blocks, filters = 2, 8
+    km = _keras_flow(n_blocks, filters)
+    # Randomize all weights (including BN stats) so import is exercised.
+    for w in km.weights:
+        w.assign(rng.standard_normal(w.shape).astype(np.float32) * 0.1
+                 + (1.0 if "variance" in w.name or "gamma" in w.name
+                    else 0.0))
+    path = str(tmp_path / "flow.weights.h5")
+    km.save_weights(path)
+
+    template = flow_resnet_init(
+        jax.random.PRNGKey(0), num_inputs=4, num_filters=filters,
+        num_res_blocks=n_blocks,
+    )
+    params = load_keras_h5(path, template)
+
+    frames_np = [rng.standard_normal((1, 8, 12, 3)).astype(np.float32)
+                 for _ in range(4)]
+    ours = np.asarray(flow_resnet_apply(
+        params, [jnp.asarray(f) for f in frames_np],
+        num_res_blocks=n_blocks,
+    ))
+    ref = km([tf.constant(f) for f in frames_np], training=False).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_h5_import_rejects_mismatched_model(rng, tmp_path):
+    km = _keras_flow(1, 8)
+    path = str(tmp_path / "flow.weights.h5")
+    km.save_weights(path)
+    # Template with MORE blocks than the checkpoint: must fail loudly.
+    template = flow_resnet_init(
+        jax.random.PRNGKey(0), num_inputs=4, num_filters=8,
+        num_res_blocks=3,
+    )
+    with pytest.raises(KeyError):
+        load_keras_h5(path, template)
