@@ -161,7 +161,9 @@ def train(config: Dict[str, Any], seed: int = 0,
             built.params, tuple(built.frozen_paths)
         ) if built.frozen_paths else None
         step = build_frvsr_step(
-            trainer, opt, mask=mask, l2_reg=l2_reg, mesh=mesh
+            trainer, opt, mask=mask, l2_reg=l2_reg, mesh=mesh,
+            steps_per_execution=int(
+                train_cfg.get("steps_per_execution", 1)),
         )
         state = init_train_state(built.params, opt)
 

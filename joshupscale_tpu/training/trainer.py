@@ -201,8 +201,17 @@ def build_frvsr_step(
     mask=None,
     l2_reg: float = 0.0,
     mesh: Optional[Mesh] = None,
+    steps_per_execution: int = 1,
 ) -> Callable:
-    """Jitted FRVSR train step: (state, batch, rng) -> (state, metrics)."""
+    """Jitted FRVSR train step: (state, batch, rng) -> (state, metrics).
+
+    ``steps_per_execution > 1`` compiles a ``lax.scan`` over K optimizer
+    steps into ONE executable (the TPU analog of the reference's
+    ``steps_per_execution`` / ``unrolled_steps_per_execution`` knobs,
+    train_local.py:169-171): the batch argument becomes a stacked
+    (K, B, ...) tree and host dispatch overhead is paid once per K.
+    """
+    k = int(steps_per_execution)
 
     def step(params, opt_state, step_no, batch, rng):
         (_, aux), grads = jax.value_and_grad(
@@ -215,10 +224,32 @@ def build_frvsr_step(
         params = merge_bn_updates(params, aux["bn_updates"])
         return params, opt_state, step_no + 1, aux["metrics"]
 
+    if k > 1:
+        inner = step
+
+        def step(params, opt_state, step_no, batches, rng):
+            def body(carry, batch):
+                p, o, s = carry
+                sub_rng = jax.random.fold_in(rng, s)
+                p, o, s, metrics = inner(p, o, s, batch, sub_rng)
+                return (p, o, s), metrics
+
+            (params, opt_state, step_no), metrics = jax.lax.scan(
+                body, (params, opt_state, step_no), batches
+            )
+            metrics = jax.tree_util.tree_map(
+                lambda m: m.mean(), metrics
+            )
+            return params, opt_state, step_no, metrics
+
     jit_kwargs: Dict[str, Any] = {"donate_argnums": (0, 1, 2)}
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        data = NamedSharding(
+            mesh,
+            P(None, mesh.axis_names[0]) if k > 1
+            else P(mesh.axis_names[0]),
+        )
         jit_kwargs["in_shardings"] = (repl, repl, repl, data, repl)
         jit_kwargs["out_shardings"] = (repl, repl, repl, repl)
     jitted = jax.jit(step, **jit_kwargs)
@@ -229,6 +260,7 @@ def build_frvsr_step(
         )
         return TrainState(params, opt_state, step_no), metrics
 
+    run.steps_per_execution = k
     return run
 
 
@@ -438,11 +470,19 @@ def fit(
     stale = 0
     acc = MeanAccumulator()
     tb = TensorBoardLogger(tensorboard_dir) if tensorboard_dir else None
+    spe = getattr(step_fn, "steps_per_execution", 1)
     for epoch in range(epochs):
         acc.reset()
         t0 = time.time()
-        for _ in range(steps_per_epoch):
-            batch = next(data_iter)
+        executions = max(steps_per_epoch // spe, 1)
+        for _ in range(executions):
+            if spe > 1:
+                batches = [next(data_iter) for _ in range(spe)]
+                batch = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *batches
+                )
+            else:
+                batch = next(data_iter)
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
             acc.update(metrics)

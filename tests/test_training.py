@@ -274,3 +274,26 @@ def test_fit_loop_runs(rng, tmp_path):
     assert (tmp_path / "latest.npz").exists()
     assert (tmp_path / "best.npz").exists()
     assert history[1]["train_loss"] < history[0]["train_loss"]
+
+
+def test_frvsr_steps_per_execution(rng):
+    """K-steps-per-execution (scan over optimizer steps) must advance
+    the state K steps per call and stay numerically sane."""
+    models = create_models(_config(), seed=0)
+    trainer = models["frvsr"].obj
+    params = models["frvsr"].params
+    opt = make_optimizer(1e-3)
+    from joshupscale_tpu.training import init_train_state
+
+    step = build_frvsr_step(trainer, opt, steps_per_execution=3)
+    state = init_train_state(params, opt)
+    b = _batch(rng)
+    batch3 = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x, x, x]), b)
+    state, metrics = step(state, batch3, jax.random.PRNGKey(0))
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics["loss"]))
+
+    # Loss after 2 executions (6 steps) must be below the first mean.
+    state, metrics2 = step(state, batch3, jax.random.PRNGKey(1))
+    assert float(metrics2["loss"]) < float(metrics["loss"])
