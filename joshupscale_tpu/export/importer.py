@@ -16,7 +16,7 @@ environment; the entry point raises with a clear message.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import numpy as np
@@ -98,18 +98,6 @@ def load_params_npz(path: str, template):
 
 # ---------------------------------------------------------------------------
 # Keras h5
-
-
-_KERAS_VAR_MAP = {
-    # Keras variable file names -> our param keys
-    "kernel": "kernel",
-    "bias": "bias",
-    "gamma": "gamma",
-    "beta": "beta",
-    "moving_mean": "moving_mean",
-    "moving_variance": "moving_variance",
-    # Keras 3 stores numbered vars; handled positionally below.
-}
 
 
 # Keras save order of a layer's weights, per layer kind.

@@ -24,7 +24,6 @@ the decision is local: per-window means, upscaled back bilinearly
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

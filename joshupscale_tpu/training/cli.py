@@ -20,7 +20,6 @@ import argparse
 import os
 from typing import Any, Dict
 
-import numpy as np
 
 
 def parse_args(argv=None):

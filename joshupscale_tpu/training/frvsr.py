@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from joshupscale_tpu.ops import dense_image_warp
-from joshupscale_tpu.ops.image import brightness as brightness_op
 from joshupscale_tpu.ops.image import BGR_LUMA
 from joshupscale_tpu.training import losses
 

@@ -19,7 +19,7 @@ caller traces (losses are accumulated in float32).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax.numpy as jnp
 

@@ -35,7 +35,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from joshupscale_tpu.export.importer import (
     flatten_params,
-    save_params_npz,
     unflatten_into,
 )
 from joshupscale_tpu.training.schedules import get_learning_rate

@@ -297,3 +297,41 @@ def test_frvsr_steps_per_execution(rng):
     # Loss after 2 executions (6 steps) must be below the first mean.
     state, metrics2 = step(state, batch3, jax.random.PRNGKey(1))
     assert float(metrics2["loss"]) < float(metrics["loss"])
+
+
+def test_frvsr_single_step(rng):
+    """frvsr-single trainer: one-step FRVSR through InferenceModel."""
+    config = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "inference": {"name": "inference", "flow": {"model": "flow"},
+                      "generator": {"model": "generator"},
+                      "skip_processing": True,
+                      "frame_height": 8, "frame_width": 8,
+                      "s2d_mode": False},
+        "single": {"name": "frvsr-single",
+                   "inference": {"model": "inference"}},
+    }
+    models = create_models(config, seed=0)
+    built = models["single"]
+    opt = make_optimizer(1e-3)
+    from joshupscale_tpu.training import init_train_state
+
+    step = build_frvsr_step(built.obj, opt)
+    state = init_train_state(built.params, opt)
+    batch = {
+        "input": jnp.asarray(
+            rng.random((2, 4, 8, 8, 3), np.float32) - 0.5),
+        "target": jnp.asarray(
+            rng.random((2, 32, 32, 3), np.float32) - 0.5),
+        "last": jnp.asarray(
+            rng.random((2, 32, 32, 3), np.float32) - 0.5),
+    }
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
