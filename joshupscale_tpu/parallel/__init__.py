@@ -1,9 +1,11 @@
-"""Device-mesh parallelism utilities."""
+"""Device-mesh parallelism: training data-parallel helpers and
+multi-stream sharded serving."""
 
 from joshupscale_tpu.parallel.mesh import (
     create_mesh,
-    shard_batch,
     replicate,
+    shard_batch,
 )
+from joshupscale_tpu.parallel.serving import ShardedEngine
 
-__all__ = ["create_mesh", "shard_batch", "replicate"]
+__all__ = ["create_mesh", "shard_batch", "replicate", "ShardedEngine"]

@@ -1,7 +1,16 @@
 """Serving runtime: compiled engines with on-device recurrent state,
-sequential video streams, and multi-stream batching."""
+sequential video streams, and the persistent compilation cache."""
 
-from joshupscale_tpu.runtime.engine import Engine, create_runtime
+from joshupscale_tpu.runtime.engine import (
+    Engine,
+    create_runtime,
+    enable_compilation_cache,
+)
 from joshupscale_tpu.runtime.stream import VideoStream
 
-__all__ = ["Engine", "create_runtime", "VideoStream"]
+__all__ = [
+    "Engine",
+    "create_runtime",
+    "enable_compilation_cache",
+    "VideoStream",
+]

@@ -185,6 +185,40 @@ class Engine:
 
     # -- profiling ---------------------------------------------------------
 
+    def debug_report(self) -> Dict[str, Any]:
+        """Compiled-program report (the analog of the reference's
+        TensorRT engine-inspector JSON, build_engine.py:244-255):
+        instruction counts by opcode, input/output shapes, and the
+        compiler's cost analysis when available."""
+        import collections
+        import re
+
+        frame = jnp.zeros(self.input_shape, jnp.uint8
+                          if not self.model.skip_processing
+                          else jnp.float32)
+        state = jax.tree_util.tree_map(jnp.array, self.state)
+        compiled = self._step.lower(self.params, frame, state).compile()
+        text = compiled.as_text()
+        ops = collections.Counter(
+            m.group(1)
+            for m in re.finditer(r"= \S+? (\w+)\(", text)
+        )
+        report: Dict[str, Any] = {
+            "instruction_counts": dict(ops.most_common()),
+            "num_instructions": sum(ops.values()),
+            "input_shape": list(self.input_shape),
+            "output_shape": list(self.output_shape),
+        }
+        try:
+            report["cost_analysis"] = {
+                k: float(v)
+                for k, v in compiled.cost_analysis().items()
+                if isinstance(v, (int, float))
+            }
+        except Exception:
+            pass
+        return report
+
     def benchmark(self, num_frames: int = 120, warmup: int = 16):
         """Measure per-frame latency (s); returns dict of p50/p99/mean."""
         rng = np.random.default_rng(0)

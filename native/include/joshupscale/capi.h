@@ -36,6 +36,29 @@ int joshupscale_process(JoshUpscaleRuntime *runtime, const uint8_t *in,
 // Zero the recurrent state. Returns 0 on success.
 int joshupscale_reset(JoshUpscaleRuntime *runtime);
 
+// ---------------------------------------------------------------------
+// Sequential video stream (AviSynth-filter semantics): monotone frame
+// serving with bounded backtrack, stream reset + warm-up replay on
+// seeks, LRU output cache.  The source callback must fill `buffer`
+// (contiguous BGR24, input_width*input_height*3 bytes) with frame
+// max(index, 0).
+
+typedef struct JoshUpscaleStream JoshUpscaleStream;
+typedef void (*JoshUpscaleFrameSource)(void *user, int index,
+                                       uint8_t *buffer);
+
+// The stream borrows `runtime` (caller keeps ownership; destroy the
+// stream first).
+JoshUpscaleStream *joshupscale_create_stream(
+    JoshUpscaleRuntime *runtime, JoshUpscaleFrameSource source,
+    void *user, int max_backtrack);
+void joshupscale_destroy_stream(JoshUpscaleStream *stream);
+
+// Upscaled frame n, written to `out` (contiguous BGR24,
+// output_width*output_height*3 bytes). Returns 0 on success.
+int joshupscale_stream_get_frame(JoshUpscaleStream *stream, int n,
+                                 uint8_t *out);
+
 // Last error message for this thread ("" if none).
 const char *joshupscale_last_error(void);
 

@@ -2,10 +2,13 @@
 
 #include "joshupscale/capi.h"
 
+#include <cstring>
 #include <memory>
 #include <string>
+#include <vector>
 
 #include "joshupscale/core.h"
+#include "stream.h"
 
 namespace {
 
@@ -83,6 +86,46 @@ int joshupscale_process(JoshUpscaleRuntime *runtime, const uint8_t *in,
 int joshupscale_reset(JoshUpscaleRuntime *runtime) {
   try {
     unwrap(runtime)->reset();
+    return 0;
+  } catch (...) {
+    g_lastError = JoshUpscale::core::getExceptionString();
+    return -1;
+  }
+}
+
+JoshUpscaleStream *joshupscale_create_stream(
+    JoshUpscaleRuntime *runtime, JoshUpscaleFrameSource source,
+    void *user, int max_backtrack) {
+  try {
+    auto *rt = unwrap(runtime);
+    std::size_t inSize = rt->getInputWidth() * rt->getInputHeight() * 3;
+    auto *stream = new JoshUpscale::core::VideoStream(
+        rt,
+        [source, user, inSize](int index,
+                               std::vector<std::uint8_t> *buffer) {
+          buffer->resize(inSize);
+          source(user, index, buffer->data());
+        },
+        max_backtrack > 0 ? max_backtrack
+                          : JoshUpscale::core::VideoStream::kMaxBacktrack);
+    return reinterpret_cast<JoshUpscaleStream *>(stream);
+  } catch (...) {
+    g_lastError = JoshUpscale::core::getExceptionString();
+    return nullptr;
+  }
+}
+
+void joshupscale_destroy_stream(JoshUpscaleStream *stream) {
+  delete reinterpret_cast<JoshUpscale::core::VideoStream *>(stream);
+}
+
+int joshupscale_stream_get_frame(JoshUpscaleStream *stream, int n,
+                                 uint8_t *out) {
+  try {
+    auto &frame =
+        reinterpret_cast<JoshUpscale::core::VideoStream *>(stream)
+            ->getFrame(n);
+    std::memcpy(out, frame.data(), frame.size());
     return 0;
   } catch (...) {
     g_lastError = JoshUpscale::core::getExceptionString();

@@ -94,3 +94,56 @@ def test_inference_s2d_matches_pixel_path(rng):
             np.asarray(out_s["output"]).astype(int)
             - np.asarray(out_p["output"]).astype(int))
         assert diff.max() <= 1
+
+
+def test_s2d_windowed_moving_avg_matches_pixel(rng):
+    """The windowed frame-moving-average round-trips through d2s in s2d
+    mode; results must match the pixel path."""
+    fma = {"strength": 0.6, "threshold": 0.02, "window": 8}
+
+    def build(s2d):
+        config = {
+            "flow": {"name": "flow-resnet", "num_inputs": 4,
+                     "num_filters": 8, "num_res_blocks": 1},
+            "generator": {"name": "generator-resnet", "num_filters": 8,
+                          "num_res_blocks": 1},
+            "inference": {
+                "name": "inference",
+                "generator": {"model": "generator"},
+                "flow": {"model": "flow"},
+                "skip_processing": False,
+                "frame_height": 8, "frame_width": 8,
+                "s2d_mode": s2d,
+                "frame_moving_avg": fma,
+            },
+        }
+        return create_models(config, seed=4)["inference"]
+
+    pix, s2d = build(False), build(True)
+    frames = rng.integers(0, 256, (3, 1, 8, 8, 3)).astype(np.uint8)
+    sp, ss = pix.obj.init_state(1), s2d.obj.init_state(1)
+    for t in range(3):
+        op, sp = pix.obj.apply(pix.params, jnp.asarray(frames[t]), sp)
+        os_, ss = s2d.obj.apply(s2d.params, jnp.asarray(frames[t]), ss)
+        np.testing.assert_allclose(
+            np.asarray(os_["output_raw"]), np.asarray(op["output_raw"]),
+            atol=2e-5)
+
+
+def test_engine_async_ordering(rng):
+    """process_async results materialize in dispatch order and match the
+    blocking path."""
+    from joshupscale_tpu.runtime.engine import Engine
+
+    built = _models(True)
+    eng_a = Engine(built.obj,
+                   jax.tree_util.tree_map(jnp.array, built.params))
+    eng_b = Engine(built.obj,
+                   jax.tree_util.tree_map(jnp.array, built.params))
+    frames = rng.integers(0, 256, (5, 8, 12, 3)).astype(np.uint8)
+
+    pending = [eng_a.process_async(f) for f in frames]
+    async_outs = [np.asarray(o)[0] for o in pending]
+    sync_outs = [eng_b.process(f) for f in frames]
+    for a, b in zip(async_outs, sync_outs):
+        np.testing.assert_array_equal(a, b)
