@@ -147,3 +147,66 @@ def test_engine_async_ordering(rng):
     sync_outs = [eng_b.process(f) for f in frames]
     for a, b in zip(async_outs, sync_outs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_s2d_brightness_normalize_matches_pixel(rng):
+    """normalize_brightness (PSP/PS2 option) must match across paths."""
+    def build(s2d):
+        config = {
+            "flow": {"name": "flow-resnet", "num_inputs": 4,
+                     "num_filters": 8, "num_res_blocks": 1},
+            "generator": {"name": "generator-resnet", "num_filters": 8,
+                          "num_res_blocks": 1},
+            "inference": {
+                "name": "inference",
+                "generator": {"model": "generator"},
+                "flow": {"model": "flow"},
+                "skip_processing": False,
+                "frame_height": 8, "frame_width": 12,
+                "normalize_brightness": True,
+                "s2d_mode": s2d,
+            },
+        }
+        return create_models(config, seed=6)["inference"]
+
+    pix, s2d = build(False), build(True)
+    frames = rng.integers(0, 256, (4, 1, 8, 12, 3)).astype(np.uint8)
+    sp, ss = pix.obj.init_state(1), s2d.obj.init_state(1)
+    for t in range(4):
+        op, sp = pix.obj.apply(pix.params, jnp.asarray(frames[t]), sp)
+        os_, ss = s2d.obj.apply(s2d.params, jnp.asarray(frames[t]), ss)
+        np.testing.assert_allclose(
+            np.asarray(os_["output_raw"]), np.asarray(op["output_raw"]),
+            atol=3e-5)
+
+
+def test_s2d_autoencoder_flow_with_padding(rng):
+    """Autoencoder FNet + flow_pad_factor through both paths."""
+    def build(s2d):
+        config = {
+            "flow": {"name": "flow-autoencoder", "num_inputs": 4,
+                     "filters": [4, 8, 4]},
+            "generator": {"name": "generator-resnet", "num_filters": 8,
+                          "num_res_blocks": 1},
+            "inference": {
+                "name": "inference",
+                "generator": {"model": "generator"},
+                "flow": {"model": "flow"},
+                "skip_processing": False,
+                # 10x14 frame, pad factor 4 -> flow net sees 12x16.
+                "frame_height": 10, "frame_width": 14,
+                "flow_pad_factor": 4,
+                "s2d_mode": s2d,
+            },
+        }
+        return create_models(config, seed=7)["inference"]
+
+    pix, s2d = build(False), build(True)
+    frames = rng.integers(0, 256, (3, 1, 10, 14, 3)).astype(np.uint8)
+    sp, ss = pix.obj.init_state(1), s2d.obj.init_state(1)
+    for t in range(3):
+        op, sp = pix.obj.apply(pix.params, jnp.asarray(frames[t]), sp)
+        os_, ss = s2d.obj.apply(s2d.params, jnp.asarray(frames[t]), ss)
+        np.testing.assert_allclose(
+            np.asarray(os_["output_raw"]), np.asarray(op["output_raw"]),
+            atol=3e-5)
