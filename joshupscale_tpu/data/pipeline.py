@@ -535,11 +535,14 @@ class PrefetchOp(DatasetOp):
         def gen():
             q: "queue.Queue" = queue.Queue(maxsize=depth)
             stop = object()
+            error = []
 
             def worker():
                 try:
                     for item in src:
                         q.put(item)
+                except BaseException as exc:  # propagate to consumer
+                    error.append(exc)
                 finally:
                     q.put(stop)
 
@@ -548,6 +551,8 @@ class PrefetchOp(DatasetOp):
             while True:
                 item = q.get()
                 if item is stop:
+                    if error:
+                        raise error[0]
                     return
                 yield item
 

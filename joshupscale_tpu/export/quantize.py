@@ -89,44 +89,71 @@ def quantize_params_int8(
 
 
 def calibrate(model, params, frames, percentile: float = 100.0):
-    """Record per-conv-input activation absmax over calibration frames.
+    """Record per-conv-INPUT activation absmax over calibration frames.
 
     The functional analog of the reference's calibration sweep
     (generate_calibration.py:93-233): streams ``frames`` (T, N, H, W, 3)
-    through the recurrent model with correct state alignment and
-    collects ranges from the BN observation points.
+    through the recurrent model with correct state alignment, recording
+    each conv layer's input absmax.  Convs are identified by
+    intercepting ``nn.layers.conv2d`` and mapping the kernel array's
+    identity back to its dotted path in ``params``, so the returned keys
+    are exactly the paths ``quantize_params_int8(ranges=...)`` consults.
 
-    Returns {dotted_path: absmax}.  Percentile < 100 clips outliers
+    Returns {dotted_conv_path: absmax}.  Percentile < 100 clips outliers
     (reference Percentile calibrator).
     """
-    from joshupscale_tpu.models.common import Mutables
-
     import jax.numpy as jnp_mod
 
-    class Recorder(Mutables):
-        def __init__(self):
-            super().__init__(False)
-            self.stats: Dict[str, list] = {}
+    from joshupscale_tpu.nn import layers as nn_layers
 
-        def bn(self, p, path, x):
-            self.stats.setdefault(self.prefix + path, []).append(
-                float(jnp_mod.max(jnp_mod.abs(x)))
+    # kernel array id -> dotted layer path
+    id_to_path: Dict[int, str] = {}
+
+    def index(tree, prefix=""):
+        if isinstance(tree, dict):
+            if "kernel" in tree and np.ndim(tree["kernel"]) == 4:
+                id_to_path[id(tree["kernel"])] = prefix
+                return
+            for k, v in tree.items():
+                if k != "_meta":
+                    index(v, f"{prefix}.{k}" if prefix else str(k))
+        elif isinstance(tree, list):
+            for i, v in enumerate(tree):
+                index(v, f"{prefix}.{i}" if prefix else str(i))
+
+    index(params)
+
+    stats: Dict[str, list] = {}
+    original = nn_layers.conv2d
+
+    def recording_conv2d(p, x, *args, **kwargs):
+        path = id_to_path.get(id(p.get("kernel")))
+        if path is not None:
+            stats.setdefault(path, []).append(
+                float(jnp_mod.max(jnp_mod.abs(
+                    x.astype(jnp_mod.float32))))
             )
-            return super().bn(p, path, x)
+        return original(p, x, *args, **kwargs)
 
-        def scoped(self, prefix):
-            view = Recorder.__new__(Recorder)
-            view.training = self.training
-            view.prefix = f"{self.prefix}{prefix}."
-            view.updates = self.updates
-            view.stats = self.stats
-            return view
+    nn_layers.conv2d = recording_conv2d
+    # Model modules import conv2d by name; patch their references too.
+    import joshupscale_tpu.models.common as common_mod
+    import joshupscale_tpu.models.fnet as fnet_mod
+    import joshupscale_tpu.models.generator as gen_mod
 
-    rec = Recorder()
-    state = model.init_state(frames.shape[1])
-    for t in range(frames.shape[0]):
-        _, state = model.apply(params, frames[t], state, mut=rec)
+    patched = [common_mod, fnet_mod, gen_mod]
+    saved = [m.conv2d for m in patched]
+    for m in patched:
+        m.conv2d = recording_conv2d
+    try:
+        state = model.init_state(frames.shape[1])
+        for t in range(frames.shape[0]):
+            _, state = model.apply(params, frames[t], state)
+    finally:
+        nn_layers.conv2d = original
+        for m, fn in zip(patched, saved):
+            m.conv2d = fn
     return {
         path: float(np.percentile(np.asarray(vals), percentile))
-        for path, vals in rec.stats.items()
+        for path, vals in stats.items()
     }

@@ -99,7 +99,10 @@ def generator_resnet_apply(
     if pre_warp is None:
         inp = frame
         conv_1 = dict(params["conv_1"])
-        conv_1["kernel"] = conv_1["kernel"][:, :, :3, :]
+        if "kernel_q" in conv_1:
+            conv_1["kernel_q"] = conv_1["kernel_q"][:, :, :3, :]
+        else:
+            conv_1["kernel"] = conv_1["kernel"][:, :, :3, :]
         out = conv2d(conv_1, inp)
     else:
         warp_s2d = pre_warp if s2d_output else space_to_depth(pre_warp, 4)

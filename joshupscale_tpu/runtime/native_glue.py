@@ -49,9 +49,9 @@ class NativeEngine:
         frame = np.frombuffer(data, np.uint8).reshape(
             self.engine.input_shape
         )
-        return np.ascontiguousarray(self.engine.process(
-            frame.reshape(self.engine.input_shape)
-        )).tobytes()
+        return np.ascontiguousarray(
+            self.engine.process(frame)
+        ).tobytes()
 
     def reset(self) -> None:
         self.engine.reset()

@@ -167,10 +167,13 @@ def train(config: Dict[str, Any], seed: int = 0,
         state = init_train_state(built.params, opt)
 
         def val_fn(st, batch, key):
+            # Inference-mode BN for validation (reference Keras
+            # test_step(training=False)).
             _, aux = trainer.loss(
                 st.params,
                 {k: jnp.asarray(v) for k, v in batch.items()},
                 key,
+                training=False,
             )
             return aux["metrics"]
 

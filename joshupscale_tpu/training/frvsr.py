@@ -195,11 +195,17 @@ class FRVSRTrainer:
         batch: Dict[str, jnp.ndarray],
         rng: jax.Array,
         l2_reg: float = 0.0,
+        training: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """Content L2 + warp L2 (reference FRVSRModel.compute_loss)."""
+        """Content L2 + warp L2 (reference FRVSRModel.compute_loss).
+
+        ``training=False`` evaluates with inference-mode batch norm
+        (moving statistics) -- use for validation, matching the
+        reference's Keras test_step(training=False).
+        """
         inputs = batch["input"]
         targets = batch["target"]
-        y = self.forward(params, inputs, targets, rng, training=True)
+        y = self.forward(params, inputs, targets, rng, training=training)
         gen_outputs_loss = losses.channel_sum_mse(y["gen_outputs"], targets)
         target_warp_loss = losses.channel_sum_mse(
             y["target_warp"], targets[:, 1:]
@@ -235,6 +241,7 @@ class FRVSRSingleTrainer:
         batch: Dict[str, jnp.ndarray],
         rng: Optional[jax.Array] = None,
         l2_reg: float = 0.0,
+        training: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         del rng
         from joshupscale_tpu.models.common import Mutables
@@ -245,7 +252,7 @@ class FRVSRSingleTrainer:
             "pre_gen": batch["last"],
             "last_frames": [window[:, i] for i in range(num_frames - 1)],
         }
-        mut = Mutables(True)
+        mut = Mutables(training)
         outputs, _ = self.model.apply(params, window[:, -1], state, mut=mut)
         gen_outputs_loss = losses.channel_sum_mse(
             outputs["output_raw"], batch["target"]

@@ -33,14 +33,10 @@ def predict_sequence(
     and pre_warp strips when targets given (reference predict_step).
     """
     n, _, h, w, _ = inputs.shape
-    state = {
-        "pre_gen": jnp.zeros((n, h * 4, w * 4, 3), inputs.dtype),
-        "last_frames": [
-            jnp.zeros((n, model.padded_height, model.padded_width, 3),
-                      inputs.dtype)
-            for _ in range(model.num_last_frames)
-        ],
-    }
+    # init_state handles both the pixel and s2d state layouts.
+    state = jax.tree_util.tree_map(
+        lambda x: x.astype(inputs.dtype), model.init_state(n)
+    )
     order = list(range(10)) + list(range(8, 0, -1))
     gen_outputs = []
     pre_warps = []
@@ -62,7 +58,7 @@ def predict_sequence(
         result["comparison"] = jnp.concatenate(
             [ups_pp, gen, tgt_pp], axis=3
         )
-        warps = jnp.stack(pre_warps[1:], axis=1)  # (N, 17, ...)
+        warps = jnp.stack(pre_warps[1:], axis=1)  # (N, 16, ...)
         result["pre_warp"] = jnp.concatenate(
             [ups_pp[:, 2:], warps, tgt_pp[:, 2:]], axis=3
         )

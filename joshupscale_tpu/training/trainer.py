@@ -470,6 +470,12 @@ def fit(
     acc = MeanAccumulator()
     tb = TensorBoardLogger(tensorboard_dir) if tensorboard_dir else None
     spe = getattr(step_fn, "steps_per_execution", 1)
+    if spe > 1 and steps_per_epoch % spe:
+        log_fn(
+            f"steps_per_epoch={steps_per_epoch} is not a multiple of "
+            f"steps_per_execution={spe}; running "
+            f"{max(steps_per_epoch // spe, 1) * spe} steps per epoch"
+        )
     for epoch in range(epochs):
         acc.reset()
         t0 = time.time()
