@@ -137,6 +137,8 @@ def train(config: Dict[str, Any], seed: int = 0,
         step = build_gan_step(
             trainer, gopt, dopt, built.params["vgg"],
             gen_mask=gen_mask, l2_reg=l2_reg, mesh=mesh,
+            steps_per_execution=int(
+                train_cfg.get("steps_per_execution", 1)),
         )
         state = init_gan_state(
             trainer, built.params["gen"], built.params["discr"],

@@ -272,10 +272,17 @@ def build_gan_step(
     discr_mask=None,
     l2_reg: float = 0.0,
     mesh: Optional[Mesh] = None,
+    steps_per_execution: int = 1,
 ) -> Callable:
-    """Jitted GAN train step with t_balance-gated discriminator update."""
+    """Jitted GAN train step with t_balance-gated discriminator update.
+
+    ``steps_per_execution > 1``: lax.scan over K optimizer steps per
+    executable (batch becomes a stacked (K, B, ...) tree), like
+    build_frvsr_step.
+    """
     cfg = trainer.config()
     t1_threshold = cfg["t_balance1_threshold"]
+    k = int(steps_per_execution)
 
     def step(gen_params, discr_params, gen_opt, discr_opt, ema, step_no,
              vgg_p, batch, rng):
@@ -355,10 +362,36 @@ def build_gan_step(
         return (gen_params, discr_params, gen_opt, discr_opt, ema,
                 step_no + 1, metrics)
 
+    if k > 1:
+        inner_gan = step
+
+        def step(gen_params, discr_params, gen_opt, discr_opt, ema,
+                 step_no, vgg_p, batches, rng):
+            def body(carry, batch):
+                gp, dp, go, do, e, s = carry
+                sub_rng = jax.random.fold_in(rng, s)
+                gp, dp, go, do, e, s, metrics = inner_gan(
+                    gp, dp, go, do, e, s, vgg_p, batch, sub_rng
+                )
+                return (gp, dp, go, do, e, s), metrics
+
+            carry, metrics = jax.lax.scan(
+                body,
+                (gen_params, discr_params, gen_opt, discr_opt, ema,
+                 step_no),
+                batches,
+            )
+            metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+            return carry + (metrics,)
+
     jit_kwargs: Dict[str, Any] = {"donate_argnums": (0, 1, 2, 3, 4, 5)}
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        data = NamedSharding(
+            mesh,
+            P(None, mesh.axis_names[0]) if k > 1
+            else P(mesh.axis_names[0]),
+        )
         jit_kwargs["in_shardings"] = (
             repl, repl, repl, repl, repl, repl, repl, data, repl
         )
@@ -373,6 +406,7 @@ def build_gan_step(
         )
         return GANTrainState(gp, dp, gopt, dopt, ema, step_no), metrics
 
+    run.steps_per_execution = k
     return run
 
 

@@ -335,3 +335,18 @@ def test_frvsr_single_step(rng):
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_gan_steps_per_execution(gan_setup, rng):
+    trainer, gen_params, discr_params, vgg_params = gan_setup
+    gopt = make_optimizer(1e-4)
+    dopt = make_optimizer(1e-4)
+    step = build_gan_step(trainer, gopt, dopt, vgg_params,
+                          steps_per_execution=2)
+    state = _gan_state(trainer, gen_params, discr_params, gopt, dopt)
+    b = _batch(rng, b=1)
+    batch2 = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), b)
+    state, metrics = step(state, batch2, jax.random.PRNGKey(0))
+    assert int(state.step) == 2
+    assert int(metrics["discr_steps"]) == 2
+    assert np.isfinite(float(metrics["gen_loss"]))
