@@ -6,6 +6,15 @@ from joshupscale_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
-from joshupscale_tpu.parallel.serving import ShardedEngine
+from joshupscale_tpu.parallel.serving import (
+    ShardedEngine,
+    SpatialEngine,
+)
 
-__all__ = ["create_mesh", "shard_batch", "replicate", "ShardedEngine"]
+__all__ = [
+    "create_mesh",
+    "shard_batch",
+    "replicate",
+    "ShardedEngine",
+    "SpatialEngine",
+]

@@ -27,6 +27,51 @@ except ImportError:  # older jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+class SpatialEngine:
+    """ONE stream's frame split across chips (latency mode).
+
+    Activations and recurrent state are sharded along H over a 1-D mesh;
+    GSPMD partitions the convolutions with halo exchanges over ICI and
+    all-gathers the warp's (VMEM-sized) block table per frame.  Use when
+    a single stream must hit a latency target one chip can't; throughput
+    mode (independent streams) should use ShardedEngine instead.
+    Numerically exact vs the single-chip engine
+    (tests/test_spatial_latency.py).
+    """
+
+    def __init__(self, model, params, mesh: Optional[Mesh] = None):
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), ("sp",))
+        self.model = model
+        self.mesh = mesh
+        repl = NamedSharding(mesh, P())
+        self._row = NamedSharding(mesh, P(None, "sp"))
+        self.params = jax.device_put(params, repl)
+
+        def step(p, frame, state):
+            outputs, new_state = model.apply(p, frame, state)
+            out = outputs.get("output", outputs["output_denorm"])
+            return out, new_state
+
+        self._step = jax.jit(step, donate_argnums=(2,))
+        self.state = self._shard_state(model.init_state(1))
+
+    def _shard_state(self, state):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self._row), state
+        )
+
+    def reset(self) -> None:
+        self.state = self._shard_state(self.model.init_state(1))
+
+    def process(self, frame: np.ndarray) -> np.ndarray:
+        if frame.ndim == 3:
+            frame = frame[None]
+        x = jax.device_put(jnp.asarray(frame), self._row)
+        out, self.state = self._step(self.params, x, self.state)
+        return np.asarray(out)[0]
+
+
 class ShardedEngine:
     """N independent recurrent streams, one per mesh device."""
 
