@@ -56,6 +56,9 @@ def main():
     import jax
 
     from joshupscale_tpu.models import create_models
+    from joshupscale_tpu.runtime.engine import enable_compilation_cache
+
+    enable_compilation_cache()
 
     config = {
         "flow": {"name": "flow-resnet", "num_inputs": 4,

@@ -108,6 +108,14 @@ def train(config: Dict[str, Any], seed: int = 0,
 
     train_ds = create_train_dataset(config["train_dataset"], batch_size)
 
+    tb_dir = (os.path.join(log_dir, "tb")
+              if train_cfg.get("tensorboard", True) else None)
+    tb_logger = None
+    if tb_dir:
+        from joshupscale_tpu.training.trainer import TensorBoardLogger
+
+        tb_logger = TensorBoardLogger(tb_dir)
+
     val_iterable = None
     play_cb = None
     if "val_dataset" in config:
@@ -124,6 +132,7 @@ def train(config: Dict[str, Any], seed: int = 0,
                 inference.obj, play_batch,
                 os.path.join(log_dir, "play"),
                 interval=int(train_cfg.get("play_interval", 1)),
+                tb_logger=tb_logger,
             )
 
     rng = jax.random.PRNGKey(seed)
@@ -199,8 +208,7 @@ def train(config: Dict[str, Any], seed: int = 0,
         monitor=monitor,
         early_stopping_patience=train_cfg.get("early_stopping_patience"),
         epoch_callback=play_cb,
-        tensorboard_dir=(os.path.join(log_dir, "tb")
-                         if train_cfg.get("tensorboard", True) else None),
+        tensorboard_dir=tb_dir,
     )
 
     export_cfg = config.get("export")

@@ -90,12 +90,13 @@ class PlayCallback:
     """Epoch callback: predict the play batch, write comparison GIFs."""
 
     def __init__(self, model, play_batch: Dict[str, np.ndarray],
-                 out_dir: str, interval: int = 1):
+                 out_dir: str, interval: int = 1, tb_logger=None):
         self.model = model
         self.inputs = jnp.asarray(play_batch["input"])
         self.targets = jnp.asarray(play_batch["target"])
         self.out_dir = out_dir
         self.interval = max(int(interval), 1)
+        self.tb_logger = tb_logger
         self._predict = jax.jit(
             lambda p, x, t: predict_sequence(model, p, x, t)
         )
@@ -115,4 +116,9 @@ class PlayCallback:
             save_gif(
                 os.path.join(self.out_dir, f"play_e{epoch:04d}_{i}.gif"),
                 comp[i],
+            )
+        if self.tb_logger is not None:
+            # First frame of each sequence, BGR -> RGB.
+            self.tb_logger.images(
+                "play/comparison", comp[:4, 0, :, :, ::-1], epoch
             )

@@ -475,6 +475,26 @@ class TensorBoardLogger:
                 self._tf.summary.scalar(k, v, step=step)
             self._writer.flush()
 
+    def histograms(self, params, step: int) -> None:
+        """Weight histograms (reference logs them every 20 epochs)."""
+        if self._writer is None:
+            return
+        from joshupscale_tpu.export.importer import flatten_params
+
+        with self._writer.as_default():
+            for path, arr in flatten_params(params).items():
+                self._tf.summary.histogram(path, arr, step=step)
+            self._writer.flush()
+
+    def images(self, tag: str, frames, step: int) -> None:
+        """(N, H, W, 3) uint8 RGB frames."""
+        if self._writer is None:
+            return
+        with self._writer.as_default():
+            self._tf.summary.image(tag, frames, step=step,
+                                   max_outputs=4)
+            self._writer.flush()
+
 
 def fit(
     step_fn: Callable,
