@@ -272,3 +272,62 @@ def test_inference_step_parity(rng):
     assert diff.max() <= 1
     np.testing.assert_allclose(
         np.asarray(new_state["last_frames"][0]), pre, atol=1e-6)
+
+
+def test_flow_autoencoder_parity(rng):
+    """Autoencoder FNet vs Keras: conv-conv-pool down, conv-conv-up
+    ladder with TF1 bilinear 2x upsampling (reference models.py
+    get_flow_autoencoder :334-481)."""
+    from joshupscale_tpu.models.fnet import (
+        flow_autoencoder_apply,
+        flow_autoencoder_init,
+    )
+
+    filters = [4, 8, 4]
+    params = flow_autoencoder_init(
+        jax.random.PRNGKey(11), num_inputs=4, filters=filters)
+    params = _randomize_bn(params, rng)
+
+    inputs = [keras.Input(shape=(None, None, 3)) for _ in range(4)]
+    x = layers.Concatenate()(inputs)
+
+    def double_conv(x, f, name):
+        x = layers.Conv2D(f, 3, padding="same", use_bias=False,
+                          name=f"{name}_conv_1")(x)
+        x = layers.BatchNormalization(name=f"{name}_bn_1")(x)
+        x = layers.ReLU()(x)
+        x = layers.Conv2D(f, 3, padding="same", use_bias=False,
+                          name=f"{name}_conv_2")(x)
+        x = layers.BatchNormalization(name=f"{name}_bn_2")(x)
+        return layers.ReLU()(x)
+
+    x = double_conv(x, filters[0], "block_1")
+    x = layers.MaxPool2D(2)(x)
+    x = double_conv(x, filters[1], "block_2")
+    x = layers.Lambda(lambda t: tf.compat.v1.image.resize_bilinear(
+        t, tf.shape(t)[1:3] * 2, align_corners=False,
+        half_pixel_centers=False))(x)
+    x = layers.Conv2D(filters[2], 3, padding="same", use_bias=False,
+                      name="conv_1")(x)
+    x = layers.BatchNormalization(name="bn_1")(x)
+    x = layers.ReLU()(x)
+    x = layers.Conv2D(32, 3, padding="same", name="conv_2")(x)
+    x = layers.Lambda(lambda t: tf.nn.depth_to_space(t, 4))(x)
+    km = keras.Model(inputs, x)
+
+    for i in (1, 2):
+        b = params[f"block_{i}"]
+        _set_conv(km, f"block_{i}_conv_1", b["conv_1"])
+        _set_bn(km, f"block_{i}_bn_1", b["bn_1"])
+        _set_conv(km, f"block_{i}_conv_2", b["conv_2"])
+        _set_bn(km, f"block_{i}_bn_2", b["bn_2"])
+    _set_conv(km, "conv_1", params["conv_1"])
+    _set_bn(km, "bn_1", params["bn_1"])
+    _set_conv(km, "conv_2", params["conv_2"])
+
+    frames_np = [rng.standard_normal((1, 8, 12, 3)).astype(np.float32)
+                 for _ in range(4)]
+    ours = np.asarray(flow_autoencoder_apply(
+        params, [jnp.asarray(f) for f in frames_np], filters=filters))
+    ref = km([tf.constant(f) for f in frames_np], training=False).numpy()
+    np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=1e-4)

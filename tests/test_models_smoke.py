@@ -134,3 +134,53 @@ def test_flow_autoencoder_shapes():
     frames = [jnp.zeros((1, 16, 24, 3)) for _ in range(4)]
     out = flow_autoencoder_apply(params, frames, filters=[8, 16, 8])
     assert out.shape == (1, 64, 96, 2)
+
+
+def test_fade_in_blocks_progressive_growing():
+    """Fade-in res blocks (reference FadeInLayer + progressive growing):
+    at counter 0 the new block's residual is fully attenuated; the
+    counter ramps it in linearly over fade_in_period training steps."""
+    from joshupscale_tpu.models.common import Mutables
+    from joshupscale_tpu.models.generator import (
+        generator_resnet_apply,
+        generator_resnet_init,
+    )
+
+    params = generator_resnet_init(
+        jax.random.PRNGKey(2), num_filters=8, num_res_blocks=1,
+        num_fade_in_res_blocks=1, fade_in_period=4,
+    )
+    assert "fade" in params["block_2"]
+    frame = jnp.asarray(
+        np.random.default_rng(0).random((1, 8, 8, 3), np.float32) - 0.5)
+    warp = jnp.zeros((1, 32, 32, 3), jnp.float32)
+
+    # counter=0: faded block contributes scale 0.
+    out0 = generator_resnet_apply(params, frame, warp)
+
+    # Zeroing the faded block's convs must not change the output at
+    # counter=0 (its residual path is multiplied by 0).
+    import jax as _jax
+
+    zeroed = _jax.tree_util.tree_map(jnp.array, params)
+    zeroed["block_2"]["conv_2"]["kernel"] = (
+        zeroed["block_2"]["conv_2"]["kernel"] * 0)
+    out0z = generator_resnet_apply(zeroed, frame, warp)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out0z),
+                               atol=1e-6)
+
+    # Training steps increment the counter via Mutables.
+    mut = Mutables(True)
+    generator_resnet_apply(params, frame, warp, mut=mut)
+    assert any(k.endswith("fade") for k in mut.updates)
+    upd = next(v for k, v in mut.updates.items() if k.endswith("fade"))
+    assert int(upd["counter"]) == 1
+
+    # At counter >= period the block is fully active: differs from the
+    # zeroed model.
+    active = _jax.tree_util.tree_map(jnp.array, params)
+    active["block_2"]["fade"]["counter"] = jnp.asarray(4, jnp.int64)
+    zeroed["block_2"]["fade"]["counter"] = jnp.asarray(4, jnp.int64)
+    out_full = generator_resnet_apply(active, frame, warp)
+    out_fullz = generator_resnet_apply(zeroed, frame, warp)
+    assert np.abs(np.asarray(out_full) - np.asarray(out_fullz)).max() > 0
