@@ -52,6 +52,36 @@ def enable_compilation_cache(cache_dir: str = "~/.cache/joshupscale_tpu"
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+_STEP_CACHE: Dict[int, Any] = {}
+
+
+def _shared_step_fns(model):
+    """Jitted (step, scan_clip) pair, one per InferenceModel instance."""
+    key = id(model)
+    if key not in _STEP_CACHE:
+        # State buffers are donated: XLA aliases output state onto input
+        # state, keeping the recurrence zero-copy in HBM.
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _step(params, frame, state):
+            outputs, new_state = model.apply(params, frame, state)
+            out = outputs.get("output", outputs["output_denorm"])
+            return out, new_state
+
+        def _scan_clip(params, frames, state):
+            def body(state, frame):
+                outputs, new_state = model.apply(params, frame, state)
+                out = outputs.get("output", outputs["output_denorm"])
+                return new_state, out
+
+            state, outs = jax.lax.scan(body, state, frames)
+            return outs, state
+
+        _STEP_CACHE[key] = (
+            _step, jax.jit(_scan_clip, donate_argnums=(2,))
+        )
+    return _STEP_CACHE[key]
+
+
 class Engine:
     """One compiled recurrent-upscale stream (or batch of streams)."""
 
@@ -70,26 +100,11 @@ class Engine:
         self._max_inflight = max_inflight
         self._pending = collections.deque()
 
-        # State buffers are donated: XLA aliases output state onto input
-        # state, keeping the recurrence zero-copy in HBM.
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _step(params, frame, state):
-            outputs, new_state = model.apply(params, frame, state)
-            out = outputs.get("output", outputs["output_denorm"])
-            return out, new_state
-
-        self._step = _step
-
-        def _scan_clip(params, frames, state):
-            def body(state, frame):
-                outputs, new_state = model.apply(params, frame, state)
-                out = outputs.get("output", outputs["output_denorm"])
-                return new_state, out
-
-            state, outs = jax.lax.scan(body, state, frames)
-            return outs, state
-
-        self._scan_clip = jax.jit(_scan_clip, donate_argnums=(2,))
+        # Engines over the same model share ONE jitted step (jax's jit
+        # cache is per function object): N concurrent streams = N Engine
+        # instances = one compile, not N (the reference likewise shares
+        # one TensorRT engine across filter instances).
+        self._step, self._scan_clip = _shared_step_fns(model)
 
         self.state = jax.device_put(
             model.init_state(batch_size), self.device

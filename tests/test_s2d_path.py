@@ -210,3 +210,23 @@ def test_s2d_autoencoder_flow_with_padding(rng):
         np.testing.assert_allclose(
             np.asarray(os_["output_raw"]), np.asarray(op["output_raw"]),
             atol=3e-5)
+
+
+def test_engines_share_compiled_step(rng):
+    """Two engines over one model share the jitted step (one compile
+    serves N concurrent streams)."""
+    from joshupscale_tpu.runtime.engine import Engine
+
+    built = _models(True)
+    a = Engine(built.obj,
+               jax.tree_util.tree_map(jnp.array, built.params))
+    b = Engine(built.obj,
+               jax.tree_util.tree_map(jnp.array, built.params))
+    assert a._step is b._step
+    f = rng.integers(0, 256, (8, 12, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(a.process(f), b.process(f))
+    # Independent recurrent state per engine.
+    a.process(f)
+    out_a = a.process(f)
+    out_b = b.process(f)
+    assert out_a.shape == out_b.shape
