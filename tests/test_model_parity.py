@@ -331,3 +331,129 @@ def test_flow_autoencoder_parity(rng):
         params, [jnp.asarray(f) for f in frames_np], filters=filters))
     ref = km([tf.constant(f) for f in frames_np], training=False).numpy()
     np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=1e-4)
+
+
+def test_full_recurrence_vs_keras_oracle(rng):
+    """Golden-loop test: 6 recurrent frames through our InferenceModel
+    (both s2d and pixel paths) vs an oracle loop composed of the Keras
+    twin networks + the numpy tfa-warp -- the closest available analog
+    of the reference's golden-frame fidelity check (real PSP/PS2 weights
+    are not distributed with the reference)."""
+    from tests.test_ops_warp import numpy_dense_image_warp
+
+    n_blocks, filters = 1, 8
+    h, w = 8, 12
+
+    # --- our models (shared weights) ---------------------------------
+    config = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": filters, "num_res_blocks": n_blocks},
+        "generator": {"name": "generator-resnet",
+                      "num_filters": filters,
+                      "num_res_blocks": n_blocks},
+        "inference": {
+            "name": "inference",
+            "generator": {"model": "generator"},
+            "flow": {"model": "flow"},
+            "skip_processing": False,
+            "frame_height": h, "frame_width": w,
+            "s2d_mode": False,
+        },
+    }
+    built = create_models(config, seed=21)["inference"]
+    params = built.params
+    config_s2d = dict(config)
+    config_s2d["inference"] = {**config["inference"], "s2d_mode": True}
+    built_s2d = create_models(config_s2d, seed=21)["inference"]
+
+    # --- Keras twins with the same weights ----------------------------
+    kf_inputs = [keras.Input(shape=(None, None, 3)) for _ in range(4)]
+    x = layers.Concatenate()(kf_inputs)
+    x = layers.Conv2D(filters, 3, padding="same", use_bias=False,
+                      name="conv_1")(x)
+    x = layers.BatchNormalization(name="bn_1")(x)
+    x = layers.ReLU()(x)
+    for i in range(n_blocks):
+        x = _keras_res_block(x, filters, f"block_{i + 1}")
+    x = layers.Conv2D(32, 1, padding="same", name="conv_2")(x)
+    x = layers.Lambda(lambda t: tf.nn.depth_to_space(t, 4))(x)
+    kflow = keras.Model(kf_inputs, x)
+    _set_conv(kflow, "conv_1", params["flow"]["conv_1"])
+    _set_bn(kflow, "bn_1", params["flow"]["bn_1"])
+    _set_conv(kflow, "conv_2", params["flow"]["conv_2"])
+    for i in range(n_blocks):
+        b = params["flow"][f"block_{i + 1}"]
+        _set_conv(kflow, f"block_{i + 1}_conv_1", b["conv_1"])
+        _set_bn(kflow, f"block_{i + 1}_bn_1", b["bn_1"])
+        _set_conv(kflow, f"block_{i + 1}_conv_2", b["conv_2"])
+        _set_bn(kflow, f"block_{i + 1}_bn_2", b["bn_2"])
+
+    frame_in = keras.Input(shape=(None, None, 3))
+    warp_in = keras.Input(shape=(None, None, 3))
+    x = layers.Concatenate()([
+        frame_in,
+        layers.Lambda(lambda t: tf.nn.space_to_depth(t, 4))(warp_in),
+    ])
+    x = layers.Conv2D(filters, 3, padding="same", use_bias=False,
+                      name="conv_1")(x)
+    x = layers.BatchNormalization(name="bn_1")(x)
+    x = layers.ReLU()(x)
+    for i in range(n_blocks):
+        x = _keras_res_block(x, filters, f"block_{i + 1}")
+    x = layers.Conv2DTranspose(32, 2, strides=2, padding="same",
+                               use_bias=False, name="conv_trans_1")(x)
+    x = layers.BatchNormalization(name="bn_2")(x)
+    x = layers.ReLU()(x)
+    x = layers.Conv2DTranspose(3, 2, strides=2, padding="same",
+                               name="conv_trans_2")(x)
+    x = layers.Activation("tanh")(x)
+    up = layers.Lambda(lambda t: tf.compat.v1.image.resize_bilinear(
+        t, tf.shape(t)[1:3] * 4, align_corners=False,
+        half_pixel_centers=False))(frame_in)
+    x = layers.Add()([up, x])
+    x = layers.Lambda(lambda t: tf.clip_by_value(t, -0.5, 0.5))(x)
+    kgen = keras.Model([frame_in, warp_in], x)
+    _set_conv(kgen, "conv_1", params["generator"]["conv_1"])
+    _set_bn(kgen, "bn_1", params["generator"]["bn_1"])
+    _set_bn(kgen, "bn_2", params["generator"]["bn_2"])
+    _set_conv(kgen, "conv_trans_1", params["generator"]["conv_trans_1"])
+    _set_conv(kgen, "conv_trans_2", params["generator"]["conv_trans_2"])
+    for i in range(n_blocks):
+        b = params["generator"][f"block_{i + 1}"]
+        _set_conv(kgen, f"block_{i + 1}_conv_1", b["conv_1"])
+        _set_bn(kgen, f"block_{i + 1}_bn_1", b["bn_1"])
+        _set_conv(kgen, f"block_{i + 1}_conv_2", b["conv_2"])
+        _set_bn(kgen, f"block_{i + 1}_bn_2", b["bn_2"])
+
+    # --- run 6 recurrent frames through all three ----------------------
+    frames = rng.integers(0, 256, (6, 1, h, w, 3)).astype(np.uint8)
+
+    state_p = built.obj.init_state(1)
+    state_s = built_s2d.obj.init_state(1)
+    pre_gen = np.zeros((1, h * 4, w * 4, 3), np.float32)
+    last_frames = [np.zeros((1, h, w, 3), np.float32) for _ in range(3)]
+
+    for t in range(6):
+        frame = jnp.asarray(frames[t])
+        out_p, state_p = built.obj.apply(params, frame, state_p)
+        out_s, state_s = built_s2d.obj.apply(
+            built_s2d.params, frame, state_s)
+
+        # Oracle step (reference inference graph semantics).
+        pre = frames[t].astype(np.float32) / 255.0 - 0.5
+        flow = kflow(
+            [tf.constant(pre)] + [tf.constant(f) for f in last_frames],
+            training=False).numpy()
+        pre_warp = numpy_dense_image_warp(pre_gen, flow)
+        out_raw = kgen([tf.constant(pre), tf.constant(pre_warp)],
+                       training=False).numpy()
+        expected_u8 = ((out_raw + 0.5) * 255.0).astype(np.uint8)
+        pre_gen = out_raw
+        last_frames = [pre] + last_frames[:-1]
+
+        for out in (out_p, out_s):
+            diff = np.abs(np.asarray(out["output"]).astype(int)
+                          - expected_u8.astype(int))
+            # Truncation boundaries can flip by 1 on fp32 round-off;
+            # the recurrence must not drift beyond that.
+            assert diff.max() <= 1, (t, diff.max())
