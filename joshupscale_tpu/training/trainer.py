@@ -415,15 +415,36 @@ def build_gan_step(
 
 
 def save_checkpoint(path: str, state_tree) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    flat = flatten_params(jax.device_get(state_tree))
-    np.savez(path, **flat)
+    """Save a train state.  ``.npz`` paths use the flat-archive format;
+    other paths use Orbax (async-capable, sharding-aware -- the
+    TPU-idiomatic choice for large multi-host states)."""
+    if path.endswith(".npz"):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        flat = flatten_params(jax.device_get(state_tree))
+        np.savez(path, **flat)
+        return
+    import orbax.checkpoint as ocp
+
+    # Store the flat dotted-path dict: stable across optax NamedTuple
+    # versions and symmetric with the npz format.
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(path),
+            flatten_params(jax.device_get(state_tree)),
+            force=True,
+        )
 
 
 def load_checkpoint(path: str, template_tree):
-    with np.load(path, allow_pickle=False) as data:
-        flat = {k: data[k] for k in data.files}
-    return unflatten_into(template_tree, flat)
+    if path.endswith(".npz"):
+        with np.load(path, allow_pickle=False) as data:
+            flat = {k: data[k] for k in data.files}
+        return unflatten_into(template_tree, flat)
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
+    return unflatten_into(template_tree, restored)
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,43 @@ def test_engines_share_compiled_step(rng):
     out_a = a.process(f)
     out_b = b.process(f)
     assert out_a.shape == out_b.shape
+
+
+def test_stablehlo_export_roundtrip(rng, tmp_path):
+    """Frozen StableHLO step: serialize, reload without model code,
+    and match the live engine exactly over a recurrent stream."""
+    from joshupscale_tpu.export.package import (
+        load_stablehlo_step,
+        save_package,
+    )
+    from joshupscale_tpu.runtime.engine import Engine
+
+    config = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "inference": {
+            "name": "inference",
+            "generator": {"model": "generator"},
+            "flow": {"model": "flow"},
+            "skip_processing": False,
+            "frame_height": 8, "frame_width": 12,
+        },
+    }
+    from joshupscale_tpu.models import create_models
+
+    built = create_models(config, seed=13)["inference"]
+    pkg = str(tmp_path / "pkg")
+    save_package(pkg, config, built, export_stablehlo=True)
+    assert (tmp_path / "pkg" / "step.stablehlo").exists()
+
+    step = load_stablehlo_step(pkg)
+    eng = Engine(built.obj,
+                 jax.tree_util.tree_map(jnp.array, built.params))
+    state = built.obj.init_state(1)
+    frames = rng.integers(0, 256, (3, 1, 8, 12, 3)).astype(np.uint8)
+    for t in range(3):
+        out, state = step(jnp.asarray(frames[t]), state)
+        ref = eng.process(frames[t, 0])
+        np.testing.assert_array_equal(np.asarray(out)[0], ref)

@@ -350,3 +350,23 @@ def test_gan_steps_per_execution(gan_setup, rng):
     assert int(state.step) == 2
     assert int(metrics["discr_steps"]) == 2
     assert np.isfinite(float(metrics["gen_loss"]))
+
+
+def test_orbax_checkpoint_roundtrip(rng, tmp_path):
+    """Non-.npz checkpoint paths use the Orbax backend."""
+    pytest.importorskip("orbax.checkpoint")
+    models = create_models(_config(), seed=0)
+    trainer = models["frvsr"].obj
+    opt = make_optimizer(1e-3)
+    from joshupscale_tpu.training import init_train_state
+
+    step = build_frvsr_step(trainer, opt)
+    state = init_train_state(models["frvsr"].params, opt)
+    state, _ = step(state, _batch(rng), jax.random.PRNGKey(0))
+
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint(path, state.tree())
+    restored = load_checkpoint(path, state.tree())
+    for a, b in zip(jax.tree_util.tree_leaves(state.tree()),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
