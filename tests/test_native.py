@@ -100,3 +100,26 @@ def test_native_cli_bad_model_path(tmp_path):
     )
     assert result.returncode != 0
     assert "error:" in result.stderr
+
+
+@needs_toolchain
+def test_native_stream_capi(package, tmp_path):
+    """C stream ABI: sequential serving, cached seek-back, jump+warm-up
+    (driven through a compiled C test binary)."""
+    _build()
+    pkg_path, _ = package
+    binary = str(tmp_path / "test_stream_capi")
+    subprocess.run(
+        ["cc", "-I", os.path.join(NATIVE, "include"),
+         os.path.join(NATIVE, "tests", "test_stream_capi.c"),
+         "-L", BUILD, "-ljoshupscale",
+         f"-Wl,-rpath,{BUILD}", "-o", binary],
+        check=True, capture_output=True,
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [binary, pkg_path], env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr
+    assert "stream C API OK" in result.stdout
