@@ -110,9 +110,10 @@ def dense_image_warp_s2d(
     path.  Measured on v5e at 1080p the naive pixel-space version costs
     ~15 ms/frame inside a scan (the XLA row gather dominates at ~8 ns
     per index on a >VMEM table); this formulation gathers ONE row per
-    output pixel from a block-neighborhood-widened s2d table whose base
-    (Hb*Wb, 16C) slab is VMEM-sized, cutting the gather to ~8.5 ms and
-    every surrounding op to s2d-layout elementwise work.
+    output pixel from a corner-subposition table whose rows stay under
+    one 128-lane tile (the gather fast path, 1.84 ns/index), cutting
+    warp+layout to ~5 ms/frame and every surrounding op to s2d-layout
+    elementwise work.
 
     Parameters
     ----------
@@ -131,6 +132,24 @@ def dense_image_warp_s2d(
     c = cs // p2
     h, w = hb * b, wb * b
     out_dtype = image_s2d.dtype
+    # Table row = the (b+1)^2 corner subpositions one output pixel can
+    # touch: base block (b*b*c lanes) + the x-neighbour's first column
+    # (b*c) + the y-neighbour's first row (b*c) + the xy corner (c) --
+    # (b+1)^2*c = 75 lanes at b=4,c=3.  Keeping rows <= 128 lanes is the
+    # TPU gather fast path: measured on v5e, row gathers from a
+    # 130K-row table run 1.84 ns/index at <=128 lanes but 3.27 ns/index
+    # at 192 lanes, and the gather output (and the layout pass XLA
+    # inserts after it) shrinks 2.56x vs the naive 4-corner-widened
+    # table.  Frame-level: 11.3 ms -> ~5.5 ms at 1080p.
+
+    def corner_lane(sy: int, sx: int) -> int:
+        if sy < b and sx < b:
+            return (sy * b + sx) * c
+        if sy < b:  # sx == b: x-neighbour column
+            return p2 * c + sy * c
+        if sx < b:  # sy == b: y-neighbour row
+            return p2 * c + b * c + sx * c
+        return p2 * c + 2 * b * c
 
     # ---- query coordinates per (block, phase), float32 ------------------
     flow32 = flow_s2d.astype(jnp.float32)
@@ -151,38 +170,41 @@ def dense_image_warp_s2d(
     ay = jnp.clip(qy - fy, 0.0, 1.0).astype(out_dtype)[..., None]
     ax = jnp.clip(qx - fx, 0.0, 1.0).astype(out_dtype)[..., None]
 
-    # ---- block-neighborhood table: [S, S>x, S>y, S>xy] ------------------
+    # ---- corner-subposition table: [S | S>x col0 | S>y row0 | S>xy c] ---
     sx_img = jnp.concatenate(
         [image_s2d[:, :, 1:], image_s2d[:, :, -1:]], axis=2)
     sy_img = jnp.concatenate(
         [image_s2d[:, 1:], image_s2d[:, -1:]], axis=1)
     sxy_img = jnp.concatenate([sy_img[:, :, 1:], sy_img[:, :, -1:]],
                               axis=2)
-    table = jnp.concatenate(
-        [image_s2d, sx_img, sy_img, sxy_img], axis=-1
-    )
+    # x-neighbour first column: lanes (ry, rx=0, c) for ry in 0..b-1.
+    xcol = sx_img.reshape(n, hb, wb, b, b, c)[:, :, :, :, 0, :].reshape(
+        n, hb, wb, b * c)
+    # y-neighbour first row: lanes (ry=0, rx, c) -- contiguous.
+    yrow = sy_img[..., : b * c]
+    # xy corner (ry=0, rx=0).
+    xy = sxy_img[..., :c]
+    table = jnp.concatenate([image_s2d, xcol, yrow, xy], axis=-1)
+    lanes = (b + 1) * (b + 1) * c
 
-    # ---- one gather: base-corner block row per output pixel -------------
+    # ---- one gather: corner-subposition row per output pixel ------------
     # Flat across the batch (vmapped gathers hit the slow batch path).
     lin = (iy // b) * wb + ix // b
     if n > 1:
         offs = jax.lax.broadcasted_iota(
             jnp.int32, (n, hb, wb, p2), 0) * (hb * wb)
         lin = lin + offs
-    table = table.reshape(n * hb * wb, 4 * cs)
+    table = table.reshape(n * hb * wb, lanes)
     # Pre-clamped indices: skip the OOB fill/select pass (it costs a
-    # full extra pass + layout copy over the 768 MB gather output).
+    # full extra pass + layout copy over the gather output).
     rows = table.at[lin.reshape(-1)].get(mode="promise_in_bounds")
-    # (Layout note: both the 5-D reshape here and a 2-D (M, 4*cs)
-    # formulation cost one relayout pass of the gather output; measured
-    # within 1 ms of each other at 1080p. 5-D keeps the code simplest.)
-    rows = rows.reshape(n, hb, wb, p2, 4 * cs)
+    rows = rows.reshape(n, hb, wb, p2, lanes)
 
     # ---- separable combine over the 5x5 possible corner offsets ---------
     # Corner (dy, dx) sits at sub-position s = (iy % b + dy, ix % b + dx)
-    # in [0, b]^2; its lane is a STATIC function of s, and its weight
-    # wy(sy)*wx(sx) is a sparse separable function of the phase/alpha:
-    # wy[sy] = (1-ay)*[py == sy] + ay*[py == sy - 1].
+    # in [0, b]^2; its lane is a STATIC function of s (corner_lane), and
+    # its weight wy(sy)*wx(sx) is a sparse separable function of the
+    # phase/alpha: wy[sy] = (1-ay)*[py == sy] + ay*[py == sy - 1].
     py = (iy % b)[..., None]
     px = (ix % b)[..., None]
     acc = jnp.zeros((n, hb, wb, p2, c), out_dtype)
@@ -192,7 +214,6 @@ def dense_image_warp_s2d(
         for sx in range(b + 1):
             wx = ((1.0 - ax) * (px == sx) + ax * (px == sx - 1)).astype(
                 out_dtype)
-            g = (sy // b) * 2 + (sx // b)
-            lane = g * cs + ((sy % b) * b + (sx % b)) * c
+            lane = corner_lane(sy, sx)
             acc = acc + rows[..., lane:lane + c] * (wy * wx)
     return acc.reshape(n, hb, wb, p2 * c)
