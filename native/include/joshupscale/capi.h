@@ -59,6 +59,36 @@ void joshupscale_destroy_stream(JoshUpscaleStream *stream);
 int joshupscale_stream_get_frame(JoshUpscaleStream *stream, int n,
                                  uint8_t *out);
 
+// ---------------------------------------------------------------------
+// Masked HUD compose (the reference OBS filter's PS2 mode,
+// obs_plugin/src/filter.cc:393-402): re-composite the ORIGINAL input
+// frame over the upscaled output wherever the grayscale mask is dark
+// (255 = keep upscale, 0 = keep original), both point-sampled onto the
+// output grid.  `out` is modified in place.  Returns 0 on success.
+int joshupscale_masked_compose(
+    uint8_t *out, ptrdiff_t out_stride, size_t out_width,
+    size_t out_height, const uint8_t *original, ptrdiff_t orig_stride,
+    size_t orig_width, size_t orig_height, const uint8_t *mask,
+    ptrdiff_t mask_stride, size_t mask_width, size_t mask_height);
+
+// ---------------------------------------------------------------------
+// Frame pacing (the reference OBS filter's "Limit to 30 FPS",
+// obs_plugin/src/filter.cc:221-226).  Accumulate source seconds with
+// joshupscale_pacer_tick; joshupscale_pacer_should_process reports
+// whether the next render must run the model; mark_processed resets
+// the accumulator after a successful process.
+
+typedef struct JoshUpscalePacer JoshUpscalePacer;
+
+JoshUpscalePacer *joshupscale_create_pacer(int limit_fps,
+                                           float frame_budget_seconds);
+void joshupscale_destroy_pacer(JoshUpscalePacer *pacer);
+void joshupscale_pacer_set_limit(JoshUpscalePacer *pacer, int limit_fps);
+void joshupscale_pacer_tick(JoshUpscalePacer *pacer, float seconds);
+int joshupscale_pacer_should_process(const JoshUpscalePacer *pacer);
+void joshupscale_pacer_mark_processed(JoshUpscalePacer *pacer);
+void joshupscale_pacer_invalidate(JoshUpscalePacer *pacer);
+
 // Last error message for this thread ("" if none).
 const char *joshupscale_last_error(void);
 

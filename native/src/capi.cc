@@ -7,7 +7,9 @@
 #include <string>
 #include <vector>
 
+#include "joshupscale/compose.h"
 #include "joshupscale/core.h"
+#include "joshupscale/pacing.h"
 #include "stream.h"
 
 namespace {
@@ -131,6 +133,65 @@ int joshupscale_stream_get_frame(JoshUpscaleStream *stream, int n,
     g_lastError = JoshUpscale::core::getExceptionString();
     return -1;
   }
+}
+
+int joshupscale_masked_compose(
+    uint8_t *out, ptrdiff_t out_stride, size_t out_width,
+    size_t out_height, const uint8_t *original, ptrdiff_t orig_stride,
+    size_t orig_width, size_t orig_height, const uint8_t *mask,
+    ptrdiff_t mask_stride, size_t mask_width, size_t mask_height) {
+  try {
+    auto outImg = makeImage(out, out_stride, out_width, out_height);
+    auto origImg =
+        makeImage(original, orig_stride, orig_width, orig_height);
+    JoshUpscale::core::Mask m;
+    m.ptr = mask;
+    m.stride = mask_stride;
+    m.width = mask_width;
+    m.height = mask_height;
+    JoshUpscale::core::maskedCompose(outImg, origImg, m);
+    return 0;
+  } catch (...) {
+    g_lastError = JoshUpscale::core::getExceptionString();
+    return -1;
+  }
+}
+
+JoshUpscalePacer *joshupscale_create_pacer(int limit_fps,
+                                           float frame_budget_seconds) {
+  return reinterpret_cast<JoshUpscalePacer *>(
+      new JoshUpscale::core::FramePacer(
+          limit_fps != 0,
+          frame_budget_seconds > 0 ? frame_budget_seconds : 0.03F));
+}
+
+void joshupscale_destroy_pacer(JoshUpscalePacer *pacer) {
+  delete reinterpret_cast<JoshUpscale::core::FramePacer *>(pacer);
+}
+
+void joshupscale_pacer_set_limit(JoshUpscalePacer *pacer,
+                                 int limit_fps) {
+  reinterpret_cast<JoshUpscale::core::FramePacer *>(pacer)->setLimitFps(
+      limit_fps != 0);
+}
+
+void joshupscale_pacer_tick(JoshUpscalePacer *pacer, float seconds) {
+  reinterpret_cast<JoshUpscale::core::FramePacer *>(pacer)->tick(
+      seconds);
+}
+
+int joshupscale_pacer_should_process(const JoshUpscalePacer *pacer) {
+  return reinterpret_cast<const JoshUpscale::core::FramePacer *>(pacer)
+      ->shouldProcess();
+}
+
+void joshupscale_pacer_mark_processed(JoshUpscalePacer *pacer) {
+  reinterpret_cast<JoshUpscale::core::FramePacer *>(pacer)
+      ->markProcessed();
+}
+
+void joshupscale_pacer_invalidate(JoshUpscalePacer *pacer) {
+  reinterpret_cast<JoshUpscale::core::FramePacer *>(pacer)->invalidate();
 }
 
 const char *joshupscale_last_error(void) { return g_lastError.c_str(); }

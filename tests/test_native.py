@@ -123,3 +123,23 @@ def test_native_stream_capi(package, tmp_path):
     )
     assert result.returncode == 0, result.stderr
     assert "stream C API OK" in result.stdout
+
+
+@needs_toolchain
+def test_native_compose_pacer_capi(tmp_path):
+    """C ABI masked-HUD compose (PS2-mode blend semantics) + 30 FPS
+    pacer state machine -- the host-API-free logic the OBS shim uses."""
+    _build()
+    binary = str(tmp_path / "test_compose_capi")
+    subprocess.run(
+        ["cc", "-I", os.path.join(NATIVE, "include"),
+         os.path.join(NATIVE, "tests", "test_compose_capi.c"),
+         "-L", BUILD, "-ljoshupscale",
+         f"-Wl,-rpath,{BUILD}", "-o", binary],
+        check=True, capture_output=True,
+    )
+    result = subprocess.run(
+        [binary], capture_output=True, text=True, timeout=120,
+    )
+    assert result.returncode == 0, result.stderr + result.stdout
+    assert "compose+pacer C API OK" in result.stdout
