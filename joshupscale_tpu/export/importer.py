@@ -117,6 +117,54 @@ def _layer_kind(subtree: dict):
     return None
 
 
+def save_keras_h5(path: str, params, scope: str = "") -> None:
+    """Write a param tree as a legacy Keras ``.h5`` weights file.
+
+    The exit door back into the reference ecosystem (the reference
+    trains Keras models and exchanges ``.h5`` weight checkpoints,
+    reference scripts/training/train_local.py:184-209): layers are
+    written in the named legacy layout (``<layer>/<layer>/<var>:0`` +
+    ``layer_names``/``weight_names`` attrs) that both Keras 2
+    ``load_weights(by_name=True)`` and :func:`load_keras_h5` read.
+    Round-trips bit-identically (tests/test_h5_import.py).
+
+    ``scope`` prefixes layer names (e.g. ``generator_``) to match how a
+    composed reference model namespaces its sublayers.
+    """
+    import h5py
+
+    layers: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def walk(subtree, prefix):
+        if not isinstance(subtree, dict):
+            return
+        kind = _layer_kind(subtree)
+        if kind is None:
+            for k, v in subtree.items():
+                if k == "_meta":
+                    continue
+                walk(v, f"{prefix}.{k}" if prefix else str(k))
+            return
+        layer_name = scope + prefix.replace(".", "_")
+        order = [k for k in _KERAS_WEIGHT_ORDER[kind] if k in subtree]
+        layers[layer_name] = {
+            key: np.asarray(subtree[key]) for key in order
+        }
+
+    walk(params, "")
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = [name.encode() for name in layers]
+        f.attrs["backend"] = b"tensorflow"
+        for name, weights in layers.items():
+            g = f.create_group(name)
+            g.attrs["weight_names"] = [
+                f"{name}/{var}:0".encode() for var in weights
+            ]
+            inner = g.create_group(name)
+            for var, arr in weights.items():
+                inner.create_dataset(f"{var}:0", data=arr)
+
+
 def load_keras_h5(path: str, template, scope: str = ""):
     """Load a Keras ``.h5`` weights file into a param tree.
 

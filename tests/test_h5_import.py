@@ -83,3 +83,49 @@ def test_h5_import_rejects_mismatched_model(rng, tmp_path):
     )
     with pytest.raises(KeyError):
         load_keras_h5(path, template)
+
+
+def test_h5_export_roundtrip_bit_identical(rng, tmp_path):
+    """save_keras_h5 (legacy by-name layout) -> load_keras_h5 must
+    reproduce every array bit-identically: the exit door back into the
+    reference's Keras checkpoint ecosystem."""
+    from joshupscale_tpu.export.importer import save_keras_h5
+
+    n_blocks, filters = 2, 8
+    template = flow_resnet_init(
+        jax.random.PRNGKey(3), num_inputs=4, num_filters=filters,
+        num_res_blocks=n_blocks,
+    )
+    path = str(tmp_path / "export.h5")
+    save_keras_h5(path, template)
+    loaded = load_keras_h5(path, template)
+
+    flat_t = jax.tree_util.tree_leaves_with_path(template)
+    flat_l = jax.tree_util.tree_leaves_with_path(loaded)
+    assert len(flat_t) == len(flat_l) and len(flat_t) > 0
+    for (kp_t, a), (kp_l, b) in zip(flat_t, flat_l):
+        assert kp_t == kp_l
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_h5_export_layer_names_match_keras(rng, tmp_path):
+    """Exported layer names must equal the reference Keras topology's
+    layer names (so by-name interchange is possible)."""
+    import h5py
+
+    from joshupscale_tpu.export.importer import save_keras_h5
+
+    km = _keras_flow(2, 8)
+    keras_layers = {
+        layer.name for layer in km.layers if layer.weights
+    }
+    template = flow_resnet_init(
+        jax.random.PRNGKey(0), num_inputs=4, num_filters=8,
+        num_res_blocks=2,
+    )
+    path = str(tmp_path / "export.h5")
+    save_keras_h5(path, template)
+    with h5py.File(path, "r") as f:
+        exported = {n.decode() if isinstance(n, bytes) else str(n)
+                    for n in f.attrs["layer_names"]}
+    assert exported == keras_layers
