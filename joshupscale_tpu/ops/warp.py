@@ -31,6 +31,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The TPU gather's per-index rate has a measured WINDOW of collapse in
+# table row count (v5e: 130K rows = 1.84 ns/idx, 260K = 1.92, 518K =
+# 10.7 (!), 1.04M = 5.2; CLAUDE.md gather rate law).  Batched warps
+# flatten all streams into one gather except inside that window, where
+# a per-stream lax.map keeps each gather at the fast rate (batch 4:
+# 183 -> 105 ms/step measured; batch 8 flat at 1M rows beats the map).
+# Module-level so tests can exercise both branches at small sizes.
+FLAT_GATHER_MAX_ROWS = 300_000
+FLAT_GATHER_RESUME_ROWS = 800_000
+
 
 def dense_image_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Warp ``image`` by per-pixel ``flow`` (tfa convention).
@@ -188,17 +198,34 @@ def dense_image_warp_s2d(
     lanes = (b + 1) * (b + 1) * c
 
     # ---- one gather: corner-subposition row per output pixel ------------
-    # Flat across the batch (vmapped gathers hit the slow batch path).
+    # The gather's per-index cost collapses ~5x once the table crosses
+    # ~500K rows (measured on v5e; see CLAUDE.md gather rate law), so
+    # the batch is flattened into ONE gather only while the combined
+    # table stays below that cliff; larger batches gather per-stream
+    # under lax.map (serialized on-chip, each at the 130K-row fast
+    # rate) while everything around the warp stays batched.  A vmapped
+    # gather (XLA batch-gather path) is ~8x slower than either.
     lin = (iy // b) * wb + ix // b
-    if n > 1:
-        offs = jax.lax.broadcasted_iota(
-            jnp.int32, (n, hb, wb, p2), 0) * (hb * wb)
-        lin = lin + offs
-    table = table.reshape(n * hb * wb, lanes)
-    # Pre-clamped indices: skip the OOB fill/select pass (it costs a
-    # full extra pass + layout copy over the gather output).
-    rows = table.at[lin.reshape(-1)].get(mode="promise_in_bounds")
-    rows = rows.reshape(n, hb, wb, p2, lanes)
+    rows_count = n * hb * wb
+    if (rows_count <= FLAT_GATHER_MAX_ROWS
+            or rows_count >= FLAT_GATHER_RESUME_ROWS):
+        if n > 1:
+            offs = jax.lax.broadcasted_iota(
+                jnp.int32, (n, hb, wb, p2), 0) * (hb * wb)
+            lin = lin + offs
+        flat = table.reshape(n * hb * wb, lanes)
+        # Pre-clamped indices: skip the OOB fill/select pass (it costs
+        # a full extra pass + layout copy over the gather output).
+        rows = flat.at[lin.reshape(-1)].get(mode="promise_in_bounds")
+        rows = rows.reshape(n, hb, wb, p2, lanes)
+    else:
+        def one_stream(args):
+            tbl, idx = args
+            return tbl.reshape(hb * wb, lanes).at[idx.reshape(-1)].get(
+                mode="promise_in_bounds")
+
+        rows = jax.lax.map(one_stream, (table, lin))
+        rows = rows.reshape(n, hb, wb, p2, lanes)
 
     # ---- separable combine over the 5x5 possible corner offsets ---------
     # Corner (dy, dx) sits at sub-position s = (iy % b + dy, ix % b + dx)

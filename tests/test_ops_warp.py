@@ -120,3 +120,21 @@ def test_space_depth_roundtrip_and_tf(rng):
     d2s = np.asarray(depth_to_space(jnp.asarray(y), 4))
     ref = tf.nn.depth_to_space(tf.constant(y), 4).numpy()
     np.testing.assert_array_equal(d2s, ref)
+
+
+def test_s2d_warp_per_stream_gather_branch(rng, monkeypatch):
+    """Large batches gather per-stream (lax.map) instead of one flat
+    big-table gather (the >500K-row gather cliff); both branches must
+    be numerically identical."""
+    import joshupscale_tpu.ops.warp as warp_mod
+    from joshupscale_tpu.ops.warp import dense_image_warp_s2d
+
+    n, hb, wb = 3, 6, 8
+    img = jnp.asarray(rng.random((n, hb, wb, 48), np.float32) - 0.5)
+    flow = jnp.asarray(
+        (rng.random((n, hb, wb, 32), np.float32) - 0.5) * 10.0)
+
+    flat = dense_image_warp_s2d(img, flow)
+    monkeypatch.setattr(warp_mod, "FLAT_GATHER_MAX_ROWS", 1)
+    mapped = dense_image_warp_s2d(img, flow)
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(mapped))
