@@ -270,3 +270,22 @@ def test_stablehlo_export_roundtrip(rng, tmp_path):
         out, state = step(jnp.asarray(frames[t]), state)
         ref = eng.process(frames[t, 0])
         np.testing.assert_array_equal(np.asarray(out)[0], ref)
+
+
+def test_d2s_display_u8_fallback_matches_composition(rng):
+    """ops.display.d2s_display_u8 == postprocess(depth_to_space(x)).
+
+    On CPU the op IS the composition (fallback); the Pallas TPU path
+    was verified bit-exact against the flagship model on v5e (see
+    ops/display.py docstring).
+    """
+    from joshupscale_tpu.ops.display import d2s_display_u8
+    from joshupscale_tpu.ops.image import postprocess
+    from joshupscale_tpu.ops.space_depth import depth_to_space
+
+    x = jnp.asarray(
+        np.clip(rng.standard_normal((2, 5, 7, 48)) * 0.2, -0.5, 0.5),
+        jnp.float32)
+    got = np.asarray(d2s_display_u8(x, 4))
+    want = np.asarray(postprocess(depth_to_space(x, 4)))
+    np.testing.assert_array_equal(got, want)
