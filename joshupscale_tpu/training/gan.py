@@ -67,18 +67,24 @@ def _group_channels(x: jnp.ndarray, group: int = 3) -> jnp.ndarray:
 
 
 def _mask_border(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Crop the centre 3/4 region and zero-pad back (warp-border mask).
+    """Zero everything outside the centre 3/4 region (warp-border mask).
 
     h, w are the LR dims; x is (N, 4h, 4w, C).  Reference
-    keras_models.py:905-913.
+    keras_models.py:905-913 (slice + zero-pad).  Implemented as a
+    multiply by a constant 0/1 mask -- numerically identical for finite
+    inputs, but it keeps a large ``pad`` op out of the graph: XLA:TPU
+    folds slice+pad into the downstream discriminator conv's window,
+    and windows with pad >= ~10 crash the TPU fusion emitter
+    ("Check failed: window.pad_low[i] == 0") at full-size crops.
     """
     work_h, work_w = h * 3, w * 3
     pad_h = h * 2 - work_h // 2
     pad_w = w * 2 - work_w // 2
-    inner = x[:, pad_h:pad_h + work_h, pad_w:pad_w + work_w, :]
-    return jnp.pad(
-        inner, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0))
-    )
+    n4h, n4w = h * 4, w * 4
+    row = (jnp.arange(n4h) >= pad_h) & (jnp.arange(n4h) < pad_h + work_h)
+    col = (jnp.arange(n4w) >= pad_w) & (jnp.arange(n4w) < pad_w + work_w)
+    mask = (row[:, None] & col[None, :]).astype(x.dtype)
+    return x * mask[None, :, :, None]
 
 
 @dataclasses.dataclass(frozen=True)

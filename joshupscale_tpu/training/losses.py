@@ -39,11 +39,19 @@ def channel_sum_mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 def ping_pong_loss(gen_outputs: jnp.ndarray) -> jnp.ndarray:
     """L1 between forward frames and mirrored tail of a ping-pong run.
 
-    gen_outputs: (B, 19, H, W, C); compares frames [0:9] with [18:9:-1].
+    gen_outputs: (B, 2T-1, H, W, C); compares frames [0:T-1] with
+    [2T-2:T-1:-1].  Computed via ``flip`` over the full sequence
+    instead of two slices: |x - flip(x)| is symmetric around the pivot
+    frame (whose term is 0), so the slice mean equals the full sum over
+    2*(T-1) frame slots.  Mathematically identical, but the backward
+    pass of flip is another flip, whereas the sliced form's gradient is
+    a pad(low=T) on the time axis -- which XLA:TPU folds into a conv
+    window and the fusion emitter crashes on ("Check failed:
+    window.pad_low[i] == 0") at the full 19-frame unroll.
     """
-    first = gen_outputs[:, :9]
-    last_rev = gen_outputs[:, -1:-10:-1]
-    return jnp.mean(jnp.abs(_f32(first) - _f32(last_rev)))
+    n = gen_outputs.shape[1]  # 2T - 1
+    diff = jnp.abs(_f32(gen_outputs) - jnp.flip(_f32(gen_outputs), 1))
+    return jnp.sum(diff) / (diff.size // n * (n - 1))
 
 
 def sigmoid_crossentropy(logits: jnp.ndarray) -> jnp.ndarray:

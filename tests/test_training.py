@@ -370,3 +370,17 @@ def test_orbax_checkpoint_roundtrip(rng, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.tree()),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ping_pong_loss_equals_sliced_form(rng):
+    """The flip-based ping-pong loss == the reference's sliced form
+    (mean L1 of frames [0:T-1] vs [2T-2:T-1:-1], keras_models.py
+    :518-523); the flip form avoids the pad(low=T) gradient that
+    crashes the TPU fusion emitter."""
+    from joshupscale_tpu.training.losses import ping_pong_loss
+
+    x = jnp.asarray(rng.standard_normal((2, 19, 4, 4, 3)).astype(
+        np.float32))
+    got = float(ping_pong_loss(x))
+    want = float(jnp.mean(jnp.abs(x[:, :9] - x[:, -1:-10:-1])))
+    np.testing.assert_allclose(got, want, rtol=1e-6)

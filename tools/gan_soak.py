@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--crop", type=int, default=32)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--log-every", type=int, default=25)
+    ap.add_argument("--ablate", type=str, default="",
+                    help="comma-separated loss keys to zero (debug)")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +58,11 @@ def main():
     models = create_models(config, seed=0)
     built = models["gan"]
     trainer = built.obj
+    if args.ablate:
+        import dataclasses as dc
+        overrides = tuple((k, 0.0) for k in args.ablate.split(","))
+        trainer = dc.replace(
+            trainer, loss_config=trainer.loss_config + overrides)
     gopt = make_optimizer(5e-5)
     dopt = make_optimizer(5e-5)
     step = build_gan_step(trainer, gopt, dopt, built.params["vgg"])
