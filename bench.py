@@ -34,21 +34,47 @@ def _clip_time(model, params, T, reps=3):
                               3), np.uint8)
     )
 
+    deferred = getattr(model, "deferred_display", False)
+
     @jax.jit
     def clip(params, frames, state):
         def body(state, frame):
             outputs, new_state = model.apply(params, frame, state)
+            if deferred:
+                # Stack the raw s2d display tensors; the u8 conversion
+                # runs as a SECOND program below (the serving engine's
+                # dispatch structure -- in-graph the u8 tail costs
+                # ~1.3 ms/frame of layout shuffles, see ops/display.py).
+                return new_state, outputs["output_s2d"]
             # Consume one output element per frame so nothing is DCE'd
             # but no frame leaves the chip.
             return new_state, outputs["output"][0, 0, 0, 0]
         state, outs = jax.lax.scan(body, state, frames)
+        if deferred:
+            return outs
         return outs.astype(jnp.int32).sum()
 
+    @jax.jit
+    def display_consume(s2d_stack):
+        from joshupscale_tpu.ops.display import d2s_display_u8
+
+        t, n = s2d_stack.shape[:2]
+        out = d2s_display_u8(
+            s2d_stack.reshape((t * n,) + s2d_stack.shape[2:]))
+        # One element/frame leaves the chip.
+        return out[:, 0, 0, 0].astype(jnp.int32).sum()
+
+    def run(state):
+        r = clip(params, frames, state)
+        if deferred:
+            r = display_consume(r)
+        return np.asarray(r)
+
     state = model.init_state(1, dtype=jnp.bfloat16)
-    np.asarray(clip(params, frames, state))  # compile + warm
+    run(state)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
-        np.asarray(clip(params, frames, state))
+        run(state)
     return (time.perf_counter() - t0) / reps
 
 

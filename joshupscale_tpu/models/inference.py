@@ -82,6 +82,15 @@ class InferenceModel:
     # (state pre_gen is (N, H, W, 48); one depth_to_space per frame for
     # the display output).  Ignored under training-mode Mutables.
     s2d_mode: bool = False
+    # Deferred display (s2d path only): emit the display frame as the
+    # raw s2d tensor ("output_s2d") and leave the depth_to_space + u8
+    # conversion to a SECOND compiled program (ops/display.d2s_display_u8,
+    # run by the Engine).  In-graph, the d2s+u8 tail costs ~1.3 ms/frame
+    # of u8 layout shuffles at 1080p on v5e and the fast Pallas kernel
+    # cannot be inlined without re-laying-out the conv chain (see
+    # ops/display.py); at a program boundary the layouts are fixed and
+    # the kernel runs at full speed (~0.1 ms).
+    deferred_display: bool = False
 
     # -- geometry ----------------------------------------------------------
 
@@ -262,6 +271,13 @@ class InferenceModel:
             }
             if not self.skip_processing:
                 outputs["output"] = postprocess(display)
+                if self.deferred_display:
+                    # The serving engine consumes this instead of
+                    # "output" and runs d2s+u8 as a SECOND program
+                    # (ops/display.d2s_display_u8); whichever key a
+                    # program does not consume is dead-code-eliminated,
+                    # so direct apply() users are unaffected.
+                    outputs["output_s2d"] = output_denorm
         else:
             outputs = {
                 "output_denorm": output_denorm.astype(jnp.float32),

@@ -136,7 +136,7 @@ def _build_inference(key, *, generator_model: BuiltModel,
                      flow_pad_factor=None, normalize_brightness=False,
                      compute_dtype=jnp.float32, frame_moving_avg=None,
                      output_flow=False, remove_flow=False, s2d_mode=True,
-                     **_):
+                     deferred_display=True, **_):
     if frame_moving_avg is not None and not hasattr(
         frame_moving_avg, "strength"
     ):
@@ -161,6 +161,7 @@ def _build_inference(key, *, generator_model: BuiltModel,
         output_flow=output_flow,
         remove_flow=remove_flow,
         s2d_mode=s2d_mode,
+        deferred_display=deferred_display,
     )
     params = {"generator": generator_model.params}
     if flow_model is not None:

@@ -55,8 +55,23 @@ def enable_compilation_cache(cache_dir: str = "~/.cache/joshupscale_tpu"
 _STEP_CACHE: Dict[int, Any] = {}
 
 
+def _select_output(model, outputs):
+    """The tensor the serving step returns for one frame.
+
+    With ``deferred_display`` the step emits the raw s2d display tensor
+    and the engine finishes it with the Pallas d2s+u8 program (a
+    separate dispatch: in-graph the u8 tail costs ~1.3 ms/frame of
+    layout shuffles, and inlining the fast kernel re-lays-out the conv
+    chain -- see ops/display.py).  Whichever output key the step does
+    not consume is dead-code-eliminated from the compiled program.
+    """
+    if getattr(model, "deferred_display", False) and "output_s2d" in outputs:
+        return outputs["output_s2d"]
+    return outputs.get("output", outputs["output_denorm"])
+
+
 def _shared_step_fns(model):
-    """Jitted (step, scan_clip) pair, one per InferenceModel instance."""
+    """Jitted (step, scan_clip, display) triple per InferenceModel."""
     key = id(model)
     if key not in _STEP_CACHE:
         # State buffers are donated: XLA aliases output state onto input
@@ -64,20 +79,30 @@ def _shared_step_fns(model):
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _step(params, frame, state):
             outputs, new_state = model.apply(params, frame, state)
-            out = outputs.get("output", outputs["output_denorm"])
-            return out, new_state
+            return _select_output(model, outputs), new_state
 
         def _scan_clip(params, frames, state):
             def body(state, frame):
                 outputs, new_state = model.apply(params, frame, state)
-                out = outputs.get("output", outputs["output_denorm"])
-                return new_state, out
+                return new_state, _select_output(model, outputs)
 
             state, outs = jax.lax.scan(body, state, frames)
             return outs, state
 
+        @jax.jit
+        def _display(x_s2d):
+            from joshupscale_tpu.ops.display import d2s_display_u8
+
+            # Works on (N, Hb, Wb, cs) and stacked (T, N, Hb, Wb, cs).
+            if x_s2d.ndim == 5:
+                t, n = x_s2d.shape[:2]
+                out = d2s_display_u8(
+                    x_s2d.reshape((t * n,) + x_s2d.shape[2:]))
+                return out.reshape((t, n) + out.shape[1:])
+            return d2s_display_u8(x_s2d)
+
         _STEP_CACHE[key] = (
-            _step, jax.jit(_scan_clip, donate_argnums=(2,))
+            _step, jax.jit(_scan_clip, donate_argnums=(2,)), _display
         )
     return _STEP_CACHE[key]
 
@@ -104,7 +129,12 @@ class Engine:
         # cache is per function object): N concurrent streams = N Engine
         # instances = one compile, not N (the reference likewise shares
         # one TensorRT engine across filter instances).
-        self._step, self._scan_clip = _shared_step_fns(model)
+        self._step, self._scan_clip, self._display = _shared_step_fns(model)
+        self._deferred = (
+            getattr(model, "deferred_display", False)
+            and getattr(model, "s2d_mode", False)
+            and not model.skip_processing
+        )
 
         self.state = jax.device_put(
             model.init_state(batch_size), self.device
@@ -146,6 +176,8 @@ class Engine:
         """
         frame = self._as_input(frame)
         out, self.state = self._step(self.params, frame, self.state)
+        if self._deferred:
+            out = self._display(out)
         self._pending.append(out)
         while len(self._pending) > self._max_inflight:
             self._pending.popleft().block_until_ready()
@@ -178,6 +210,8 @@ class Engine:
             frames = frames[:, None]
         frames = jnp.asarray(frames)
         outs, self.state = self._scan_clip(self.params, frames, self.state)
+        if self._deferred:
+            outs = self._display(outs)
         result = np.asarray(outs)
         if squeeze:
             result = result[:, 0]
@@ -259,6 +293,14 @@ class Engine:
             dtype = (jnp.float32 if self.model.skip_processing
                      else jnp.uint8)
 
+            deferred = self._deferred
+
+            @jax.jit
+            def _consume(x):
+                # One element/frame leaves the chip; nothing is DCE'd.
+                return x.reshape(x.shape[0], -1)[:, 0].astype(
+                    jnp.int32).sum()
+
             def timed_clip(T, reps=3):
                 frames = jnp.asarray(rng.integers(
                     0, 256, (T,) + self.input_shape, np.uint8
@@ -269,19 +311,30 @@ class Engine:
                     def body(state, frame):
                         out, new_state = self.model.apply(
                             params, frame, state)
-                        out = out.get("output", out["output_denorm"])
-                        # Consume one element/frame: nothing leaves
-                        # the chip, nothing is DCE'd.
+                        out = _select_output(self.model, out)
+                        if deferred:
+                            # Stack the s2d tensors: the display
+                            # program (a separate dispatch, see
+                            # _shared_step_fns) converts them after.
+                            return new_state, out
                         return new_state, out[(0,) * out.ndim]
                     state, outs = jax.lax.scan(body, state, frames)
+                    if deferred:
+                        return outs
                     return outs.astype(jnp.float32).sum()
+
+                def run(state):
+                    r = clip(self.params, frames, state)
+                    if deferred:
+                        r = _consume(self._display(r))
+                    return np.asarray(r)
 
                 state = jax.device_put(
                     self.model.init_state(self.batch_size), self.device)
-                np.asarray(clip(self.params, frames, state))  # compile
+                run(state)  # compile + warm
                 t0 = time.perf_counter()
                 for _ in range(reps):
-                    np.asarray(clip(self.params, frames, state))
+                    run(state)
                 return (time.perf_counter() - t0) / reps
 
             t_short = timed_clip(max(4, num_frames // 6))

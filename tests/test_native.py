@@ -70,7 +70,9 @@ def test_native_cli_matches_python_engine(package, tmp_path):
     out_raw = tmp_path / "out.raw"
     frames.tofile(in_raw)
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
     result = subprocess.run(
         [CLI, pkg_path, str(in_raw), str(out_raw)],
         env=env, capture_output=True, text=True, timeout=600,
@@ -93,7 +95,9 @@ def test_native_cli_matches_python_engine(package, tmp_path):
 @needs_toolchain
 def test_native_cli_bad_model_path(tmp_path):
     _build()
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
     result = subprocess.run(
         [CLI, str(tmp_path / "nonexistent"), "/dev/null", "/dev/null"],
         env=env, capture_output=True, text=True, timeout=300,
@@ -116,7 +120,9 @@ def test_native_stream_capi(package, tmp_path):
          f"-Wl,-rpath,{BUILD}", "-o", binary],
         check=True, capture_output=True,
     )
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
     result = subprocess.run(
         [binary, pkg_path], env=env, capture_output=True, text=True,
         timeout=600,

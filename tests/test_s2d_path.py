@@ -289,3 +289,30 @@ def test_d2s_display_u8_fallback_matches_composition(rng):
     got = np.asarray(d2s_display_u8(x, 4))
     want = np.asarray(postprocess(depth_to_space(x, 4)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_deferred_display_engine_matches_inline(rng):
+    """Engine with deferred_display (two compiled programs: step +
+    Pallas/XLA d2s+u8) is bit-identical to the in-graph display path,
+    for both process() and process_clip()."""
+    import dataclasses
+
+    from joshupscale_tpu.runtime.engine import Engine
+
+    built = _models(True)
+    inline_model = dataclasses.replace(
+        built.obj, deferred_display=False)
+    deferred_model = dataclasses.replace(
+        built.obj, deferred_display=True)
+    eng_i = Engine(inline_model, built.params)
+    eng_d = Engine(deferred_model, built.params)
+    assert eng_d._deferred and not eng_i._deferred
+
+    frames = rng.integers(0, 256, (5, 8, 12, 3)).astype(np.uint8)
+    for t in range(3):
+        np.testing.assert_array_equal(
+            eng_d.process(frames[t]), eng_i.process(frames[t]))
+    eng_i.reset()
+    eng_d.reset()
+    np.testing.assert_array_equal(
+        eng_d.process_clip(frames), eng_i.process_clip(frames))
