@@ -84,6 +84,24 @@ def res_block_init(key, num_filters: int, fade_in_period=None,
     return params
 
 
+def res_blocks_apply(params, names, x, activation, mut: Mutables):
+    """Run consecutive res blocks; on TPU inference with a supported
+    shape this dispatches to the Pallas fused chain (2 kernels per
+    block on a flat-padded activation -- ~110 us/conv vs XLA's 154 us,
+    see nn/resblock_pallas.py), otherwise the XLA loop."""
+    if not mut.training and isinstance(activation, str):
+        from joshupscale_tpu.nn import resblock_pallas
+
+        if (jax.default_backend() == "tpu"
+                and resblock_pallas.supported(x, activation)):
+            return resblock_pallas.res_block_chain(
+                params, names, x, activation)
+    out = x
+    for name in names:
+        out = res_block_apply(params[name], out, activation, mut, name)
+    return out
+
+
 def res_block_apply(params, x, activation, mut: Mutables, path: str):
     """conv-bn-act-conv-bn(-fade)-add-act residual block."""
     act = get_activation(activation)

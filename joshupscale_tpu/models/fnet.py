@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from joshupscale_tpu.models.common import (
     Mutables,
     res_block_apply,
+    res_blocks_apply,
     res_block_init,
 )
 from joshupscale_tpu.nn.layers import (
@@ -81,9 +82,9 @@ def flow_resnet_apply(
     out = conv2d(params["conv_1"], out)
     out = mut.bn(params["bn_1"], "bn_1", out)
     out = act(out)
-    for i in range(num_res_blocks):
-        name = f"block_{i + 1}"
-        out = res_block_apply(params[name], out, activation, mut, name)
+    out = res_blocks_apply(
+        params, [f"block_{i + 1}" for i in range(num_res_blocks)],
+        out, activation, mut)
     out = conv2d(params["conv_2"], out)
     if s2d_output:
         return out

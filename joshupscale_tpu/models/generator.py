@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from joshupscale_tpu.models.common import (
     Mutables,
     res_block_apply,
+    res_blocks_apply,
     res_block_init,
 )
 from joshupscale_tpu.nn.layers import (
@@ -110,9 +111,9 @@ def generator_resnet_apply(
         out = conv2d(params["conv_1"], inp)
     out = mut.bn(params["bn_1"], "bn_1", out)
     out = act(out)
-    for i in range(num_blocks):
-        name = f"block_{i + 1}"
-        out = res_block_apply(params[name], out, activation, mut, name)
+    out = res_blocks_apply(
+        params, [f"block_{i + 1}" for i in range(num_blocks)],
+        out, activation, mut)
     if s2d_output:
         return _tail_s2d(params, frame, out, act, mut)
     out = conv2d_transpose_2x(params["conv_trans_1"], out)

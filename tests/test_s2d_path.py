@@ -316,3 +316,58 @@ def test_deferred_display_engine_matches_inline(rng):
     eng_d.reset()
     np.testing.assert_array_equal(
         eng_d.process_clip(frames), eng_i.process_clip(frames))
+
+
+def test_pallas_res_block_chain_matches_xla(rng):
+    """nn.resblock_pallas chain (interpret mode) == the XLA res-block
+    loop, including BN folding, fade-in folding, batching, and both
+    activations.  On TPU the same kernels were verified at the
+    flagship shape (see CLAUDE.md perf log)."""
+    import jax
+
+    from joshupscale_tpu.models.common import (
+        Mutables, res_block_apply, res_block_init)
+    from joshupscale_tpu.nn import resblock_pallas
+
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    params = {
+        "block_1": res_block_init(k1, 64),
+        "block_2": res_block_init(k2, 64, fade_in_period=10),
+    }
+    params["block_2"]["fade"]["counter"] = jnp.asarray(4, jnp.int64)
+    for b in params.values():
+        for bn in ("bn_1", "bn_2"):
+            b[bn]["moving_mean"] = jnp.asarray(
+                rng.standard_normal(64) * 0.1, jnp.float32)
+            b[bn]["moving_variance"] = jnp.asarray(
+                1 + rng.random(64), jnp.float32)
+    names = ["block_1", "block_2"]
+    mut = Mutables(False)
+
+    # The chain is disabled in production (measured slower than XLA's
+    # conv fusions, see nn/resblock_pallas.py ENABLED note) but kept
+    # correct: force it on for this test.
+    enabled_before = resblock_pallas.ENABLED
+    resblock_pallas.ENABLED = True
+    for act in ("relu", "lrelu"):
+        x = jnp.asarray(
+            rng.standard_normal((2, 14, 16, 64)) * 0.5, jnp.bfloat16)
+        assert resblock_pallas.supported(x, act)
+        ref = x
+        for n in names:
+            ref = res_block_apply(params[n], ref, act, mut, n)
+        got = resblock_pallas.res_block_chain(
+            params, names, x, act, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=0.03, rtol=0.03)
+
+    # Unsupported shapes fall back (dispatch guard).
+    bad = jnp.zeros((1, 13, 16, 64), jnp.bfloat16)  # (H+2) % 8 != 0
+    assert not resblock_pallas.supported(bad, "relu")
+    assert not resblock_pallas.supported(
+        jnp.zeros((1, 14, 16, 32), jnp.bfloat16), "relu")
+    resblock_pallas.ENABLED = enabled_before
+    assert not resblock_pallas.supported(
+        jnp.zeros((2, 14, 16, 64), jnp.bfloat16), "relu") or enabled_before

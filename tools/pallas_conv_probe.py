@@ -94,6 +94,81 @@ def probe_dot(n_out, tile_m, resident=True):
     return per_iter_us(step, b0)
 
 
+def probe_patch_dot(tile_rows=2416, pair=False):
+    """In-kernel im2col + dot at the flat-padded conv shape.
+
+    The candidate fused res-block kernel works on a zero-padded
+    (272, 482, 64) activation viewed flat as (131104, 64): a 3x3 tap
+    (dy, dx) of output flat-row r is input flat-row r + (dy-1)*482 +
+    (dx-1), so the 9 taps are 9 overlapping row-windows of one VMEM
+    buffer and the (M, 576) patch is a lane-concat of 9 row-shifted
+    views.  This probe measures that concat + dot (and, with
+    ``pair=True``, the full fused conv-relu-conv-add res block) with
+    the input buffer resident in VMEM -- the per-conv-equivalent cost
+    that decides GO/NO-GO vs XLA's 142 us conv fusions.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pw = 482
+    halo = 2 * pw + 2
+    steps = M // tile_rows
+    buf_rows = -(-(tile_rows + 2 * halo) // 8) * 8
+
+    def kernel(x_ref, w1_ref, w2_ref, o_ref, p_ref):
+        # A 9-way vector concat of 64-lane views trips a Mosaic
+        # internal error (mixed half-VREG lane offsets); assembling
+        # the patch through a VMEM scratch with lane-slice stores
+        # lowers cleanly and the VMEM round-trip is ~us-scale.
+        for t, (dy, dx) in enumerate(
+                (dy, dx) for dy in range(3) for dx in range(3)):
+            p_ref[:, 64 * t:64 * (t + 1)] = (
+                x_ref[pl.ds(dy * pw + dx, tile_rows), :])
+        y1 = jnp.dot(p_ref[:], w1_ref[:],
+                     preferred_element_type=jnp.float32)
+        y1 = jnp.maximum(y1, 0.0).astype(jnp.bfloat16)
+        if not pair:
+            o_ref[:] = y1
+            return
+        # Second conv consumes y1; the probe reuses y1 for all 9 taps
+        # (cost-identical to the real row-shifted reads: same stores,
+        # same dot shape).
+        for t in range(9):
+            p_ref[:, 64 * t:64 * (t + 1)] = y1
+        y2 = jnp.dot(p_ref[:], w2_ref[:],
+                     preferred_element_type=jnp.float32)
+        o_ref[:] = (y2.astype(jnp.bfloat16)
+                    + x_ref[pl.ds(halo + pw + 1, tile_rows), :])
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((buf_rows, 64), lambda i: (0, 0)),
+            pl.BlockSpec((K, 64), lambda i: (0, 0)),
+            pl.BlockSpec((K, 64), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, 64), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((steps * tile_rows, 64),
+                                       jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((tile_rows, K), jnp.bfloat16)],
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((buf_rows, 64)).astype(
+        np.float32), jnp.bfloat16)
+    w0 = jnp.asarray(rng.standard_normal((K, 64)).astype(
+        np.float32) * 0.05, jnp.bfloat16)
+
+    def step(w):
+        out = call(x, w, w0)
+        return w0 + out[:K].astype(jnp.bfloat16) * jnp.bfloat16(1e-6)
+
+    return per_iter_us(step, w0)
+
+
 def probe_xla_conv():
     import jax
     import jax.numpy as jnp
@@ -119,23 +194,39 @@ def probe_xla_conv():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tile", type=int, default=1296)
+    ap.add_argument("--variants", default="patch,pair")
     args = ap.parse_args()
+    variants = args.variants.split(",")
 
     ideal_us = M * K * 64 * 2 / 197e12 * 1e6
     print(f"conv-equivalent ideal (100% MXU): {ideal_us:.1f} us; "
-          f"N=64 structural ceiling (50%): {2 * ideal_us:.1f} us")
+          f"N=64 structural ceiling (50%): {2 * ideal_us:.1f} us",
+          flush=True)
 
-    r = probe_xla_conv()
-    print(f"xla_conv3x3+relu      : {r:8.1f} us  ({ideal_us / r:5.1%} MXU)")
+    if "xla" in variants:
+        r = probe_xla_conv()
+        print(f"xla_conv3x3+relu      : {r:8.1f} us  "
+              f"({ideal_us / r:5.1%} MXU)", flush=True)
     for n_out, resident, name in [
         (64, True, "dot64_resident "),
         (128, True, "dot128_resident"),
         (64, False, "dot64_stream   "),
     ]:
+        if name.strip() not in variants:
+            continue
         scale = n_out / 64
         r = probe_dot(n_out, args.tile, resident)
         print(f"pallas_{name}(tile={args.tile}): {r:8.1f} us  "
-              f"({scale * ideal_us / r:5.1%} MXU)")
+              f"({scale * ideal_us / r:5.1%} MXU)", flush=True)
+    if "patch" in variants:
+        r = probe_patch_dot(pair=False)
+        print(f"pallas_patch9_dot64   : {r:8.1f} us  "
+              f"({ideal_us / r:5.1%} MXU)", flush=True)
+    if "pair" in variants:
+        r = probe_patch_dot(pair=True)
+        print(f"pallas_fused_pair     : {r:8.1f} us/pair  "
+              f"({2 * ideal_us / r:5.1%} MXU; xla pair ~300 us)",
+              flush=True)
 
 
 if __name__ == "__main__":
