@@ -91,6 +91,16 @@ class InferenceModel:
     # ops/display.py); at a program boundary the layouts are fixed and
     # the kernel runs at full speed (~0.1 ms).
     deferred_display: bool = False
+    # u8 recurrent state (s2d mode only): the fed-back previous frame
+    # is stored quantized to uint8 -- the TPU analog of the reference's
+    # int8 TensorRT engines quantizing the recurrence (reference
+    # quantize_int8.py keeps state tensors quantized in-engine).  The
+    # warp gather then moves half the bytes (measured: the gather-
+    # buffer relayout halves).  Numerics: <= 1/255 quantization of the
+    # feedback per frame vs the float path (the display output is u8
+    # anyway); opt-in, OFF by default -- the parity-exact tier keeps
+    # float state.
+    u8_state: bool = False
 
     # -- geometry ----------------------------------------------------------
 
@@ -127,7 +137,11 @@ class InferenceModel:
             return {}
         h, w = self.frame_height, self.frame_width
         ph, pw = self.padded_height, self.padded_width
-        if self.s2d_mode:
+        if self.s2d_mode and self.u8_state:
+            # u8 127 ~= float 0.0 after dequantization (-0.002); the
+            # reference warm-up discards the first frames anyway.
+            pre_gen = jnp.full((batch_size, h, w, 48), 127, jnp.uint8)
+        elif self.s2d_mode:
             pre_gen = jnp.zeros((batch_size, h, w, 48), dtype)
         else:
             pre_gen = jnp.zeros((batch_size, h * 4, w * 4, 3), dtype)
@@ -225,10 +239,17 @@ class InferenceModel:
         flow = self._unpad_flow_s2d(flow) if s2d else (
             self._unpad_flow(flow))
 
-        pre_gen = state["pre_gen"].astype(cdt)
-        if s2d:
+        u8_state = self.u8_state and s2d
+        if u8_state:
+            # Quantized recurrence tier: the warp gathers the u8 table
+            # directly and dequantizes in the bilinear blend.
+            pre_warp = dense_image_warp_s2d(
+                state["pre_gen"], flow).astype(cdt)
+        elif s2d:
+            pre_gen = state["pre_gen"].astype(cdt)
             pre_warp = dense_image_warp_s2d(pre_gen, flow)
         else:
+            pre_gen = state["pre_gen"].astype(cdt)
             pre_warp = dense_image_warp(pre_gen, flow)
         if self.normalize_brightness:
             pre_warp = pre_warp + bright
@@ -289,7 +310,11 @@ class InferenceModel:
                 outputs["output"] = postprocess(output_denorm)
 
         new_state = {
-            "pre_gen": output_raw.astype(state["pre_gen"].dtype),
+            # u8 tier: clip before quantizing (brightness denorm can
+            # push output_raw slightly outside [-0.5, 0.5]).
+            "pre_gen": (postprocess(jnp.clip(output_raw, -0.5, 0.5))
+                        if u8_state
+                        else output_raw.astype(state["pre_gen"].dtype)),
             "last_frames": [cur_pad.astype(state["last_frames"][0].dtype)]
             + state["last_frames"][:-1],
         }

@@ -136,7 +136,7 @@ def _build_inference(key, *, generator_model: BuiltModel,
                      flow_pad_factor=None, normalize_brightness=False,
                      compute_dtype=jnp.float32, frame_moving_avg=None,
                      output_flow=False, remove_flow=False, s2d_mode=True,
-                     deferred_display=True, **_):
+                     deferred_display=True, u8_state=False, **_):
     if frame_moving_avg is not None and not hasattr(
         frame_moving_avg, "strength"
     ):
@@ -162,6 +162,7 @@ def _build_inference(key, *, generator_model: BuiltModel,
         remove_flow=remove_flow,
         s2d_mode=s2d_mode,
         deferred_display=deferred_display,
+        u8_state=u8_state,
     )
     params = {"generator": generator_model.params}
     if flow_model is not None:

@@ -141,7 +141,14 @@ def dense_image_warp_s2d(
     p2 = b * b
     c = cs // p2
     h, w = hb * b, wb * b
-    out_dtype = image_s2d.dtype
+    # uint8 images (the u8-state serving tier, the TPU analog of the
+    # reference's quantized TensorRT engines): the gather moves HALF
+    # the bytes (u8 table rows), the bilinear blend runs on the raw
+    # 0..255 values, and ONE final affine maps back to [-0.5, 0.5]
+    # floats -- exact because the 4 bilinear weights sum to 1:
+    #   sum_s w_s * (r_s/255 - 0.5) = (sum_s w_s * r_s)/255 - 0.5.
+    u8 = image_s2d.dtype == jnp.uint8
+    out_dtype = jnp.bfloat16 if u8 else image_s2d.dtype
     # Table row = the (b+1)^2 corner subpositions one output pixel can
     # touch: base block (b*b*c lanes) + the x-neighbour's first column
     # (b*c) + the y-neighbour's first row (b*c) + the xy corner (c) --
@@ -234,6 +241,8 @@ def dense_image_warp_s2d(
     # phase/alpha: wy[sy] = (1-ay)*[py == sy] + ay*[py == sy - 1].
     py = (iy % b)[..., None]
     px = (ix % b)[..., None]
+    if u8:
+        rows = rows.astype(out_dtype)
     acc = jnp.zeros((n, hb, wb, p2, c), out_dtype)
     for sy in range(b + 1):
         wy = ((1.0 - ay) * (py == sy) + ay * (py == sy - 1)).astype(
@@ -243,4 +252,8 @@ def dense_image_warp_s2d(
                 out_dtype)
             lane = corner_lane(sy, sx)
             acc = acc + rows[..., lane:lane + c] * (wy * wx)
+    if u8:
+        # Affine in f32 (1/255 is inexact in bf16), one fused pass.
+        acc = (acc.astype(jnp.float32) * (1.0 / 255.0) - 0.5).astype(
+            out_dtype)
     return acc.reshape(n, hb, wb, p2 * c)

@@ -371,3 +371,43 @@ def test_pallas_res_block_chain_matches_xla(rng):
     resblock_pallas.ENABLED = enabled_before
     assert not resblock_pallas.supported(
         jnp.zeros((2, 14, 16, 64), jnp.bfloat16), "relu") or enabled_before
+
+
+def test_u8_state_tier_close_to_float(rng):
+    """u8_state quantized-recurrence tier (the int8-TRT-engine analog):
+    per-frame outputs stay within quantization error of the float
+    path, and the state buffer really is uint8."""
+    import dataclasses
+
+    from joshupscale_tpu.runtime.engine import Engine
+
+    built = _models(True)
+    eng_f = Engine(built.obj, built.params)
+    eng_q = Engine(dataclasses.replace(built.obj, u8_state=True),
+                   built.params)
+    assert eng_q.state["pre_gen"].dtype == jnp.uint8
+
+    frames = rng.integers(0, 256, (6, 8, 12, 3)).astype(np.uint8)
+    for t in range(6):
+        out_f = eng_f.process(frames[t]).astype(np.int32)
+        out_q = eng_q.process(frames[t]).astype(np.int32)
+        err = np.abs(out_f - out_q).max()
+        # Warp of a <=1/255-perturbed previous frame through a tiny
+        # random generator: allow a few u8 steps of drift.
+        assert err <= 6, (t, err)
+    assert eng_q.state["pre_gen"].dtype == jnp.uint8
+
+
+def test_u8_warp_matches_dequantized_float_warp(rng):
+    """dense_image_warp_s2d on uint8 == warp of the dequantized image
+    (up to bf16 blend rounding)."""
+    img_u8 = rng.integers(0, 256, (1, 6, 9, 48)).astype(np.uint8)
+    flow = jnp.asarray(
+        rng.standard_normal((1, 6, 9, 32)).astype(np.float32) * 3.0)
+    got = dense_image_warp_s2d(jnp.asarray(img_u8), flow)
+    assert got.dtype == jnp.bfloat16
+    ref = dense_image_warp_s2d(
+        jnp.asarray(img_u8.astype(np.float32) / 255.0 - 0.5), flow)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.02)
