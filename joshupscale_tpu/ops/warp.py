@@ -91,9 +91,20 @@ def dense_image_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
             jnp.int32, (n, h, w), 0) * (h * w)
         lin = lin + offs
     flat = corners.reshape(n * h * w, 4 * c)
-    # Indices are pre-clamped; the default OOB "fill" mode would add a
-    # full-size select pass over the gathered buffer.
-    rows = flat.at[lin.reshape(-1)].get(mode="promise_in_bounds")
+    # mode="fill" (NOT promise_in_bounds): on v5e the promise-mode
+    # gather's custom fusion MISCOMPILES inside large fused training
+    # graphs -- the final 8x128-grain tail of the output buffer is left
+    # unwritten (deterministic -inf garbage in the last row/channel of
+    # a (72, 128, 128, 3) warp), which the discriminator's batch norm
+    # then amplifies into an all-NaN branch.  Indices are in bounds by
+    # construction (clip keeps the edge-clamp semantics exact even for
+    # the fill path), so fill's extra select pass is the only cost --
+    # negligible against a training step, and this pixel-space warp is
+    # the training path.  The s2d serving warp keeps promise-mode: its
+    # smaller single-frame graphs compile correctly (pinned by golden
+    # tests) and the select pass would cost real frame time there.
+    idx = jnp.clip(lin.reshape(-1), 0, n * h * w - 1)
+    rows = flat.at[idx].get(mode="fill", fill_value=0)
     rows = rows.reshape(n, h, w, 4, c)
 
     # ---- bilinear blend ---------------------------------------------------

@@ -38,6 +38,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from joshupscale_tpu.ops import dense_image_warp, upscale_bilinear
 from joshupscale_tpu.training import losses
@@ -50,8 +51,22 @@ from joshupscale_tpu.training.frvsr import (
 
 
 def pingpong(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, T, ...) -> (B, 2T-1, ...): forward then reversed (skip last)."""
-    return jnp.concatenate([x, x[:, -2::-1]], axis=1)
+    """(B, T, ...) -> (B, 2T-1, ...): forward then reversed (skip last).
+
+    Implemented as ONE constant-index take instead of
+    ``concat([x, x[:, -2::-1]])``: XLA lowers that concat to
+    ``pad(reversed, low=T)`` and folds the pad into the batch-merged
+    discriminator/VGG conv windows downstream, which crashes the
+    XLA:TPU fusion emitter ("Check failed: window.pad_low[i] == 0
+    (10 vs. 0)") at the full 19-frame unroll.  A gather with a constant
+    index vector carries no pad for the emitter to fold (and this is
+    only applied to no-grad operands -- inputs/targets/brightness/VGG
+    features of targets -- so its scatter transpose never appears).
+    """
+    t = x.shape[1]
+    idx = jnp.asarray(
+        np.concatenate([np.arange(t), np.arange(t - 2, -1, -1)]))
+    return jnp.take(x, idx, axis=1)
 
 
 def _group_channels(x: jnp.ndarray, group: int = 3) -> jnp.ndarray:
@@ -229,19 +244,24 @@ class GANTrainer:
         ).reshape(-1, h * 4, w * 4, 2)
         t_vel = jax.lax.stop_gradient(t_vel)
 
-        def discr_input(frames):
-            warped = _mask_border(
-                _group_channels(dense_image_warp(frames, t_vel)), h, w
-            )
+        debug_taps = {}
+
+        def discr_input(frames, tag):
+            raw = dense_image_warp(frames, t_vel)
+            warped = _mask_border(_group_channels(raw), h, w)
             before = _group_channels(frames)
+            debug_taps[f"warp_raw_{tag}"] = raw
+            debug_taps[f"warp_masked_{tag}"] = warped
             return jnp.concatenate([before, warped, inputs_hi], axis=-1)
 
+        discr_in_real = discr_input(t_targets, "real")
+        discr_in_fake = discr_input(t_gen, "fake")
         real_output = self.discriminator_apply(
-            discr_params, discr_input(t_targets),
+            discr_params, discr_in_real,
             mut=mut.scoped("discr.real"),
         )
         fake_output = self.discriminator_apply(
-            discr_params, discr_input(t_gen),
+            discr_params, discr_in_fake,
             mut=mut.scoped("discr.fake"),
         )
 
@@ -254,6 +274,14 @@ class GANTrainer:
             "vgg_real_output": vgg_real,
             "vgg_fake_output": vgg_fake,
             "targets_d": targets_d,
+            # Debug taps (free unless consumed -- XLA dead-code
+            # eliminates unfetched outputs): the flow field and the
+            # assembled discriminator inputs.
+            "flow_t": flow_t,
+            "t_vel": t_vel,
+            "discr_in_real": discr_in_real,
+            "discr_in_fake": discr_in_fake,
+            **debug_taps,
             "bn_updates": mut.updates,
         }
 
