@@ -384,3 +384,16 @@ def test_ping_pong_loss_equals_sliced_form(rng):
     got = float(ping_pong_loss(x))
     want = float(jnp.mean(jnp.abs(x[:, :9] - x[:, -1:-10:-1])))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pingpong_take_matches_concat_form(rng):
+    """gan.pingpong (constant-index take -- the XLA:TPU pad-fold-safe
+    form) is bit-identical to the reference concat construction."""
+    from joshupscale_tpu.training.gan import pingpong
+
+    x = jnp.asarray(rng.standard_normal((2, 10, 4, 5, 3)).astype(np.float32))
+    got = np.asarray(pingpong(x))
+    want = np.concatenate(
+        [np.asarray(x), np.asarray(x)[:, -2::-1]], axis=1)
+    np.testing.assert_array_equal(got, want)
+    assert got.shape[1] == 19
