@@ -34,7 +34,13 @@ def _clip_time(model, params, T, reps=3):
                               3), np.uint8)
     )
 
-    deferred = getattr(model, "deferred_display", False)
+    # Mirror Engine._deferred (runtime/engine.py keeps the same
+    # two-program scheme in Engine.benchmark -- update BOTH if the
+    # dispatch structure changes): output_s2d only exists on the s2d
+    # inference path with u8 I/O.
+    deferred = (getattr(model, "deferred_display", False)
+                and getattr(model, "s2d_mode", False)
+                and not model.skip_processing)
 
     @jax.jit
     def clip(params, frames, state):

@@ -105,6 +105,10 @@ _KERAS_WEIGHT_ORDER = {
     "conv": ("kernel", "bias"),
     "bn": ("gamma", "beta", "moving_mean", "moving_variance"),
     "dense": ("kernel", "bias"),
+    # Fade-in layer state (reference FadeInLayer save_own_variables
+    # persists the counter; the period is layer CONFIG, kept by the
+    # load-side template).
+    "fade": ("counter",),
 }
 
 
@@ -114,6 +118,8 @@ def _layer_kind(subtree: dict):
         return "bn"
     if "kernel" in keys:
         return "conv"
+    if "counter" in keys:
+        return "fade"
     return None
 
 
@@ -241,9 +247,12 @@ def load_keras_h5(path: str, template, scope: str = ""):
             return subtree
         how, data = found
         out = dict(subtree)
+        persisted = _KERAS_WEIGHT_ORDER[kind]
         if how == "named":
             for key in subtree:
-                if key == "_meta":
+                if key == "_meta" or key not in persisted:
+                    # e.g. fade "period": layer CONFIG, not a weight --
+                    # the template's value stands.
                     continue
                 if key not in data:
                     unmatched.append(f"{layer_name}/{key}")

@@ -356,11 +356,13 @@ class Engine:
         times = []
         for _ in range(num_frames):
             t0 = time.perf_counter()
-            out = self._step(
+            out, self.state = self._step(
                 self.params, jax.device_put(frame, self.device), self.state
             )
-            out[0].block_until_ready()
-            self.state = out[1]
+            if self._deferred:
+                # Same program set as process(): step + display.
+                out = self._display(out)
+            out.block_until_ready()
             times.append(time.perf_counter() - t0)
         times = np.asarray(times)
         return {

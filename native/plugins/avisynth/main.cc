@@ -77,12 +77,10 @@ class JoshUpscaleFilter : public GenericVideoFilter {
     env->CheckVersion(8);
     vi.width = static_cast<int>(m_runtime->getOutputWidth());
     vi.height = static_cast<int>(m_runtime->getOutputHeight());
-    m_bgrBuffer.resize(m_inW * m_inH * 3);
   }
 
   PVideoFrame AVS_CALL GetFrame(int n, IScriptEnvironment *env) override {
     m_env = env;  // source callback runs inside getFrame below
-    PVideoFrame src;
     try {
       // core::VideoStream enforces the sequential recurrence (cache
       // hit on small back-seeks, replay on forward jumps, reset +
@@ -161,12 +159,14 @@ class JoshUpscaleFilter : public GenericVideoFilter {
   IScriptEnvironment *m_env = nullptr;
   std::size_t m_inW = 0;
   std::size_t m_inH = 0;
-  std::vector<std::uint8_t> m_bgrBuffer;
 };
 
 AVSValue AVS_CALL CreateFilter(AVSValue args, [[maybe_unused]] void *userData,
                                IScriptEnvironment *env) {
   PClip clip = args[0].AsClip();
+  if (!args[1].Defined()) {
+    env->ThrowError("JoshUpscale: model_path is required");
+  }
   const char *model = args[1].AsString();
   int device = args[2].Defined() ? args[2].AsInt() : 0;
   return new JoshUpscaleFilter(clip, env, model, device);

@@ -93,9 +93,22 @@ class Filter {
     m_pacer.setLimitFps(::obs_data_get_bool(settings, "limit_fps"));
     const int model = static_cast<int>(resolution * 2 + preset);
     if (model != m_model) {
+      // update() runs on the OBS frontend thread while render() runs
+      // inside the graphics context; entering the graphics context
+      // here (it is per-thread refcounted, so initModel's own
+      // enter/leave nests fine) excludes render() for the whole
+      // runtime swap -- no use-after-free window.
+      ::obs_enter_graphics();
       m_runtime.reset();
-      initModel(kModels[model]);
-      m_model = model;
+      if (initModel(kModels[model])) {
+        // Only remember the selection on success: a transient load
+        // failure must be retried on the next update() with the same
+        // preset instead of leaving the filter permanently dead.
+        m_model = model;
+      } else {
+        m_model = -1;
+      }
+      ::obs_leave_graphics();
     }
   }
 
@@ -192,7 +205,7 @@ class Filter {
   }
 
  private:
-  void initModel(const char *model) noexcept {
+  bool initModel(const char *model) noexcept {
     ObsPath modelPath(::obs_module_file(model));
     try {
       if (modelPath == nullptr) {
@@ -220,10 +233,12 @@ class Filter {
       ::obs_leave_graphics();
       m_pacer.invalidate();
       blog(LOG_INFO, "[joshupscale] loaded model: %s", model);
+      return true;
     } catch (...) {
       blog(LOG_ERROR, "[joshupscale] %s",
            core::getExceptionString().c_str());
       m_runtime.reset();
+      return false;
     }
   }
 

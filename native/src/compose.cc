@@ -70,10 +70,11 @@ void maskedCompose(const Image &output, const Image &original,
       const std::uint8_t *op = orig + origCol[x] * 3;
       std::uint8_t *dst = out + x * 3;
       for (int c = 0; c < 3; ++c) {
-        const unsigned v =
-            op[c] * blend + dst[c] * keep + 127U;  // round(x/255)
-        dst[c] = static_cast<std::uint8_t>(
-            (v + (v >> 8)) >> 8);  // fast divide by 255
+        // Exact round-half-up of s/255 via (s+128 + (s+128)>>8) >> 8
+        // (verified exhaustively over s in [0, 255*255]; the +127
+        // variant is one LSB low whenever s % 255 == 128).
+        const unsigned v = op[c] * blend + dst[c] * keep + 128U;
+        dst[c] = static_cast<std::uint8_t>((v + (v >> 8)) >> 8);
       }
     }
   }

@@ -68,7 +68,8 @@ static int test_compose(void) {
         } else {
           /* rounded blend o*(1-m/255) + u*(m/255) */
           const unsigned v = o * (255u - m) + u * m;
-          const uint8_t want = (uint8_t)((v + 127u + ((v + 127u) >> 8)) >> 8);
+          /* true round-half-up, NOT the implementation's formula */
+          const uint8_t want = (uint8_t)((v + 127u) / 255u);
           CHECK(got == want);
         }
       }

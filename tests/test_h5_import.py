@@ -129,3 +129,25 @@ def test_h5_export_layer_names_match_keras(rng, tmp_path):
         exported = {n.decode() if isinstance(n, bytes) else str(n)
                     for n in f.attrs["layer_names"]}
     assert exported == keras_layers
+
+
+def test_h5_roundtrip_preserves_fade_counter(tmp_path):
+    """Fade-in layer state (counter) survives the legacy-h5 round trip
+    (reference FadeInLayer persists it via save_own_variables); the
+    period is layer config and keeps the template's value."""
+    import jax.numpy as jnp
+
+    from joshupscale_tpu.export.importer import (
+        load_keras_h5, save_keras_h5)
+    from joshupscale_tpu.models.common import res_block_init
+
+    key = jax.random.PRNGKey(0)
+    params = {"block_1": res_block_init(key, 8, fade_in_period=100)}
+    params["block_1"]["fade"]["counter"] = jnp.asarray(42, jnp.int64)
+    path = str(tmp_path / "w.h5")
+    save_keras_h5(path, params)
+
+    template = {"block_1": res_block_init(key, 8, fade_in_period=100)}
+    loaded = load_keras_h5(path, template)
+    assert int(loaded["block_1"]["fade"]["counter"]) == 42
+    assert float(loaded["block_1"]["fade"]["period"]) == 100.0

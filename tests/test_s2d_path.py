@@ -350,6 +350,22 @@ def test_pallas_res_block_chain_matches_xla(rng):
     # correct: force it on for this test.
     enabled_before = resblock_pallas.ENABLED
     resblock_pallas.ENABLED = True
+    try:
+        _run_pallas_chain_cases(rng, params, names, mut)
+    finally:
+        resblock_pallas.ENABLED = enabled_before
+
+    # Unsupported shapes fall back (dispatch guard).
+    bad = jnp.zeros((1, 13, 16, 64), jnp.bfloat16)  # (H+2) % 8 != 0
+    assert not resblock_pallas.supported(bad, "relu")
+    assert not resblock_pallas.supported(
+        jnp.zeros((1, 14, 16, 32), jnp.bfloat16), "relu")
+
+
+def _run_pallas_chain_cases(rng, params, names, mut):
+    from joshupscale_tpu.models.common import res_block_apply
+    from joshupscale_tpu.nn import resblock_pallas
+
     for act in ("relu", "lrelu"):
         x = jnp.asarray(
             rng.standard_normal((2, 14, 16, 64)) * 0.5, jnp.bfloat16)
@@ -362,15 +378,6 @@ def test_pallas_res_block_chain_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             atol=0.03, rtol=0.03)
-
-    # Unsupported shapes fall back (dispatch guard).
-    bad = jnp.zeros((1, 13, 16, 64), jnp.bfloat16)  # (H+2) % 8 != 0
-    assert not resblock_pallas.supported(bad, "relu")
-    assert not resblock_pallas.supported(
-        jnp.zeros((1, 14, 16, 32), jnp.bfloat16), "relu")
-    resblock_pallas.ENABLED = enabled_before
-    assert not resblock_pallas.supported(
-        jnp.zeros((2, 14, 16, 64), jnp.bfloat16), "relu") or enabled_before
 
 
 def test_u8_state_tier_close_to_float(rng):
