@@ -120,3 +120,20 @@ def test_sample_dataset_mixes(image_tree):
     }]
     items = list(create_dataset(config))
     assert len(items) == 8  # 4 from each sub-pipeline
+
+
+def test_map_num_parallel_preserves_order():
+    """num_parallel (the tf.data num_parallel_calls analog) keeps the
+    exact sequential output order via its bounded in-order window."""
+    from joshupscale_tpu.data.pipeline import MapOp
+
+    class Double(MapOp):
+        def map_fn(self, data):
+            return data * 2
+
+    seq = list(Double("d")(range(100)))
+    par = list(Double("d", num_parallel=4)(range(100)))
+    assert par == seq == [2 * i for i in range(100)]
+    # restartable: a second pull re-runs the pool cleanly
+    op = Double("d", num_parallel=3)(range(10))
+    assert list(op) == list(op)
