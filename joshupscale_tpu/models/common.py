@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from joshupscale_tpu.nn.layers import (
+    BN_EPS,
     batch_norm,
     batch_norm_init,
     conv2d,
@@ -102,15 +103,40 @@ def res_blocks_apply(params, names, x, activation, mut: Mutables):
     return out
 
 
+def conv_bn(conv_params, bn_params, x, mut: Mutables, path: str):
+    """conv2d followed by batch norm, BN-FOLDED at inference.
+
+    At inference the BN affine is folded into the conv weights
+    (``kernel * inv`` per output channel + an ``offset`` bias) instead
+    of applying it to the conv output.  Mathematically identical
+    (conv is linear in the kernel; same inv/offset formula as
+    nn.layers.batch_norm), and the fold is a param-only computation
+    XLA hoists out of the frame scan -- this removes the 43 standalone
+    ~12 us scale+shift(+act) passes/frame the conv fusions could not
+    absorb at 1080p on v5e.  Training and int8 (pre-quantized kernel)
+    paths keep the explicit BN op.
+    """
+    if mut.training or "kernel_q" in conv_params:
+        out = conv2d(conv_params, x)
+        return mut.bn(bn_params, path, out)
+    inv = bn_params["gamma"] * jax.lax.rsqrt(
+        bn_params["moving_variance"] + BN_EPS)
+    offset = bn_params["beta"] - bn_params["moving_mean"] * inv
+    folded = {"kernel": conv_params["kernel"] * inv, "bias": offset}
+    if "bias" in conv_params:
+        folded["bias"] = offset + conv_params["bias"] * inv
+    return conv2d(folded, x)
+
+
 def res_block_apply(params, x, activation, mut: Mutables, path: str):
     """conv-bn-act-conv-bn(-fade)-add-act residual block."""
     act = get_activation(activation)
     shortcut = x
-    out = conv2d(params["conv_1"], x)
-    out = mut.bn(params["bn_1"], f"{path}.bn_1", out)
+    out = conv_bn(params["conv_1"], params["bn_1"], x, mut,
+                  f"{path}.bn_1")
     out = act(out)
-    out = conv2d(params["conv_2"], out)
-    out = mut.bn(params["bn_2"], f"{path}.bn_2", out)
+    out = conv_bn(params["conv_2"], params["bn_2"], out, mut,
+                  f"{path}.bn_2")
     if "fade" in params:
         out = mut.fade_in(params["fade"], f"{path}.fade", out)
     out = out + shortcut

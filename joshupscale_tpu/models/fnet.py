@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from joshupscale_tpu.models.common import (
     Mutables,
+    conv_bn,
     res_block_apply,
     res_blocks_apply,
     res_block_init,
@@ -79,8 +80,7 @@ def flow_resnet_apply(
     if num_res_blocks is None:
         num_res_blocks = sum(1 for k in params if k.startswith("block_"))
     out = jnp.concatenate(frames, axis=-1)
-    out = conv2d(params["conv_1"], out)
-    out = mut.bn(params["bn_1"], "bn_1", out)
+    out = conv_bn(params["conv_1"], params["bn_1"], out, mut, "bn_1")
     out = act(out)
     out = res_blocks_apply(
         params, [f"block_{i + 1}" for i in range(num_res_blocks)],

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from joshupscale_tpu.models.common import (
     Mutables,
+    conv_bn,
     res_block_apply,
     res_blocks_apply,
     res_block_init,
@@ -104,12 +105,11 @@ def generator_resnet_apply(
             conv_1["kernel_q"] = conv_1["kernel_q"][:, :, :3, :]
         else:
             conv_1["kernel"] = conv_1["kernel"][:, :, :3, :]
-        out = conv2d(conv_1, inp)
     else:
         warp_s2d = pre_warp if s2d_output else space_to_depth(pre_warp, 4)
         inp = jnp.concatenate([frame, warp_s2d], axis=-1)
-        out = conv2d(params["conv_1"], inp)
-    out = mut.bn(params["bn_1"], "bn_1", out)
+        conv_1 = params["conv_1"]
+    out = conv_bn(conv_1, params["bn_1"], inp, mut, "bn_1")
     out = act(out)
     out = res_blocks_apply(
         params, [f"block_{i + 1}" for i in range(num_blocks)],
