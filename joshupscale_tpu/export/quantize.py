@@ -104,6 +104,7 @@ def calibrate(model, params, frames, percentile: float = 100.0):
     """
     import jax.numpy as jnp_mod
 
+    from joshupscale_tpu.models import common as model_common
     from joshupscale_tpu.nn import layers as nn_layers
 
     # kernel array id -> dotted layer path
@@ -145,11 +146,17 @@ def calibrate(model, params, frames, percentile: float = 100.0):
     saved = [m.conv2d for m in patched]
     for m in patched:
         m.conv2d = recording_conv2d
+    # Disable inference BN-folding for the sweep: the fold builds NEW
+    # kernel arrays (kernel * inv), which would hide every conv-with-BN
+    # from the identity-based path map above.
+    fold_before = model_common.FOLD_BN
+    model_common.FOLD_BN = False
     try:
         state = model.init_state(frames.shape[1])
         for t in range(frames.shape[0]):
             _, state = model.apply(params, frames[t], state)
     finally:
+        model_common.FOLD_BN = fold_before
         nn_layers.conv2d = original
         for m, fn in zip(patched, saved):
             m.conv2d = fn

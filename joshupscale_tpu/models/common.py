@@ -103,6 +103,13 @@ def res_blocks_apply(params, names, x, activation, mut: Mutables):
     return out
 
 
+# Inference BN folding switch: export.quantize.calibrate() turns it off
+# during the calibration sweep, which identifies conv layers by KERNEL
+# ARRAY IDENTITY (the fold would create new kernel arrays and hide the
+# generator convs from the range map).
+FOLD_BN = True
+
+
 def conv_bn(conv_params, bn_params, x, mut: Mutables, path: str):
     """conv2d followed by batch norm, BN-FOLDED at inference.
 
@@ -116,7 +123,7 @@ def conv_bn(conv_params, bn_params, x, mut: Mutables, path: str):
     absorb at 1080p on v5e.  Training and int8 (pre-quantized kernel)
     paths keep the explicit BN op.
     """
-    if mut.training or "kernel_q" in conv_params:
+    if mut.training or not FOLD_BN or "kernel_q" in conv_params:
         out = conv2d(conv_params, x)
         return mut.bn(bn_params, path, out)
     inv = bn_params["gamma"] * jax.lax.rsqrt(
