@@ -51,6 +51,9 @@ def _clip_time(model, params, T, reps=3):
                 # runs as a SECOND program below (the serving engine's
                 # dispatch structure -- in-graph the u8 tail costs
                 # ~1.3 ms/frame of layout shuffles, see ops/display.py).
+                # HBM note: the stack is O(T) (~12 MB/frame bf16 at
+                # 1080p; T=96 here = ~1.2 GB of 16 GB) -- raise T only
+                # with Engine.process_clip-style chunking.
                 return new_state, outputs["output_s2d"]
             # Consume one output element per frame so nothing is DCE'd
             # but no frame leaves the chip.

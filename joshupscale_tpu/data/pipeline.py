@@ -164,9 +164,20 @@ class MapOp(DatasetOp):
     op (TF eager dispatch bounds further scaling).
     """
 
+    # Subclasses that cannot run map_fn from a thread pool (per-op
+    # np.random state, or a __call__ override without the pool path)
+    # set this False so a stray ``num_parallel`` config key fails
+    # loudly instead of silently racing / being ignored.
+    PARALLEL_OK = True
+
     def __init__(self, name: str, num_parallel: int = 0, **kw):
         super().__init__(name, **kw)
         self.num_parallel = int(num_parallel)
+        if self.num_parallel > 1 and not self.PARALLEL_OK:
+            raise ValueError(
+                f"{type(self).__name__} does not support num_parallel "
+                "(RNG-bearing or flat-map op; it would run np.random "
+                "from multiple threads or silently ignore the key)")
 
     def __call__(self, data):
         src = data
@@ -201,7 +212,9 @@ class MapOp(DatasetOp):
 
 
 class FlatMapOp(MapOp):
-    """Map then unbatch axis 0."""
+    """Map then unbatch axis 0.  No thread-pool path (PARALLEL_OK)."""
+
+    PARALLEL_OK = False
 
     def __call__(self, data):
         src = data
@@ -232,6 +245,8 @@ class FilterOp(DatasetOp):
 
 
 class RandomCondMapOp(MapOp):
+    PARALLEL_OK = False
+
     def __init__(self, threshold: float, **kw):
         super().__init__(**kw)
         self.threshold = threshold
@@ -344,6 +359,8 @@ class RgbToBgrOp(MapOp):
 
 
 class RandomNoiseOp(MapOp):
+    PARALLEL_OK = False
+
     def __init__(self, stddev: float, **kw):
         super().__init__(**kw)
         self.stddev = stddev
@@ -356,6 +373,8 @@ class RandomNoiseOp(MapOp):
 
 
 class RandomContrastOp(MapOp):
+    PARALLEL_OK = False
+
     def __init__(self, stddev: float, base: float, **kw):
         super().__init__(**kw)
         self.stddev = stddev
@@ -371,6 +390,8 @@ class RandomContrastOp(MapOp):
 
 
 class RandomBrightnessOp(MapOp):
+    PARALLEL_OK = False
+
     def __init__(self, stddev: float, **kw):
         super().__init__(**kw)
         self.stddev = stddev
@@ -548,10 +569,15 @@ class CacheOp(DatasetOp):
             if done[0]:
                 yield from cache
                 return
-            cache.clear()  # partial fill from an abandoned iteration
+            # Fill into a LOCAL list and publish atomically on
+            # completion: two iterators racing before the first full
+            # pass (or an abandoned partial fill) can no longer corrupt
+            # the shared cache -- the last completed pass wins whole.
+            fill: List[Any] = []
             for item in src:
-                cache.append(item)
+                fill.append(item)
                 yield item
+            cache[:] = fill
             done[0] = True
 
         return _Restartable(gen)
@@ -572,26 +598,44 @@ class PrefetchOp(DatasetOp):
         def gen():
             q: "queue.Queue" = queue.Queue(maxsize=depth)
             stop = object()
+            cancel = threading.Event()
             error = []
+
+            def _put(item) -> bool:
+                """Bounded put that gives up once the consumer is gone."""
+                while not cancel.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def worker():
                 try:
                     for item in src:
-                        q.put(item)
+                        if not _put(item):
+                            return  # consumer abandoned: stop pulling src
                 except BaseException as exc:  # propagate to consumer
                     error.append(exc)
                 finally:
-                    q.put(stop)
+                    _put(stop)
 
             t = threading.Thread(target=worker, daemon=True)
             t.start()
-            while True:
-                item = q.get()
-                if item is stop:
-                    if error:
-                        raise error[0]
-                    return
-                yield item
+            try:
+                while True:
+                    item = q.get()
+                    if item is stop:
+                        if error:
+                            raise error[0]
+                        return
+                    yield item
+            finally:
+                # Generator close()/GC path: release the worker so it
+                # stops pulling the source instead of prefetching
+                # forever for a dead consumer.
+                cancel.set()
 
         return _Restartable(gen)
 

@@ -184,6 +184,11 @@ def load_keras_h5(path: str, template, scope: str = ""):
       ``model_weights/<layer>/<layer>/<var>:0`` with named variables.
 
     Layer names map to tree paths: ``block_3_bn_2`` -> ``block_3.bn_2``.
+    Composed models (e.g. the reference INFERENCE model, which nests the
+    flow and generator submodels whose layer names collide -- both have
+    a ``conv_1``) are handled by qualifying each layer with its
+    enclosing submodel names: ``flow_conv_1`` / ``generator_conv_1``,
+    matching the nested param-tree prefixes.
     ``scope`` strips a leading prefix (e.g. ``generator_``) from h5
     layer names first.
     """
@@ -193,27 +198,50 @@ def load_keras_h5(path: str, template, scope: str = ""):
     named: Dict[str, Dict[str, np.ndarray]] = {}
     positional: Dict[str, list] = {}
 
+    def _dec(x):
+        return x.decode() if isinstance(x, bytes) else str(x)
+
     with h5py.File(path, "r") as f:
         def visit(name, obj):
-            if isinstance(obj, h5py.Group) and name.endswith("vars"):
+            if (isinstance(obj, h5py.Group)
+                    and name.split("/")[-1] == "vars"):
                 lname = obj.attrs.get("name")
                 if lname is None:
                     return
-                if isinstance(lname, bytes):
-                    lname = lname.decode()
                 arrs = [
                     np.asarray(obj[k])
                     for k in sorted(obj.keys(), key=lambda s: int(s))
                 ]
-                if arrs:
-                    positional[str(lname)] = arrs
+                if not arrs:
+                    return
+                # Keras 3 nests submodels: the path is
+                # layers/<g>(/layers/<g>)*/vars and each enclosing <g>
+                # group's own "vars" carries the TRUE submodel name.
+                comps = name.split("/")
+                scopes = []
+                for depth in range(1, (len(comps) - 1) // 2):
+                    vg = f.get("/".join(comps[:2 * depth]) + "/vars")
+                    nm = (vg.attrs.get("name")
+                          if vg is not None else None)
+                    scopes.append(_dec(nm) if nm is not None
+                                  else comps[2 * depth - 1])
+                positional["_".join(scopes + [_dec(lname)])] = arrs
             elif hasattr(obj, "shape") and ":" in name.rsplit(
                 "/", 1
             )[-1]:
                 parts = name.replace(":0", "").split("/")
                 var = parts[-1]
-                layer = parts[-2]
-                named.setdefault(layer, {})[var] = np.asarray(obj)
+                comps = parts[:-1]
+                if comps and comps[0] == "model_weights":
+                    comps = comps[1:]
+                # Legacy layout repeats the layer group name
+                # (<layer>/<layer>/<var>:0); nested submodels prepend
+                # their group.  Collapse adjacent duplicates so flat
+                # files key as before and nested ones qualify.
+                qual = [p for i, p in enumerate(comps)
+                        if i == 0 or p != comps[i - 1]]
+                named.setdefault("_".join(qual), {})[var] = (
+                    np.asarray(obj))
 
         f.visititems(visit)
 

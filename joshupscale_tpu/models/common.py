@@ -86,15 +86,21 @@ def res_block_init(key, num_filters: int, fade_in_period=None,
 
 
 def res_blocks_apply(params, names, x, activation, mut: Mutables):
-    """Run consecutive res blocks; on TPU inference with a supported
-    shape this dispatches to the Pallas fused chain (2 kernels per
-    block on a flat-padded activation -- ~110 us/conv vs XLA's 154 us,
-    see nn/resblock_pallas.py), otherwise the XLA loop."""
+    """Run consecutive res blocks; the XLA loop by default.
+
+    The Pallas fused chain (nn/resblock_pallas.py) is complete and
+    bit-correct but MEASURED SLOWER than XLA's conv emitter (264-310
+    us/conv vs XLA's 142+12 -- the in-kernel VPU patch work runs at
+    half VREG width; see the CLAUDE.md dead-end log), so it ships with
+    ``ENABLED = False`` and ``supported()`` returns False.  The dispatch
+    hook below is kept so the kernel can be re-evaluated if Mosaic
+    gains a W-in-lanes conv emitter; do not re-enable without new
+    measurements."""
     if not mut.training and isinstance(activation, str):
         from joshupscale_tpu.nn import resblock_pallas
 
         if (jax.default_backend() == "tpu"
-                and resblock_pallas.supported(x, activation)):
+                and resblock_pallas.supported(x, activation, params, names)):
             return resblock_pallas.res_block_chain(
                 params, names, x, activation)
     out = x

@@ -216,14 +216,26 @@ def fold_bn(bn_params, eps: float = BN_EPS):
     return inv, offset
 
 
-def supported(x: jnp.ndarray, activation: str) -> bool:
-    """Can the Pallas chain run this activation tensor?"""
+def supported(x: jnp.ndarray, activation: str,
+              params=None, names=None) -> bool:
+    """Can the Pallas chain run this activation tensor?
+
+    When ``params``/``names`` are given, also verifies the res-block
+    convs are BIAS-FREE: the chain kernel has no bias add, so enabling
+    it on imported weights that carry biases would be silently wrong.
+    """
     if not ENABLED or x.dtype != jnp.bfloat16:
         return False
     if x.ndim != 4 or x.shape[-1] != 64:
         return False
     if activation not in ("relu", "lrelu"):
         return False
+    if params is not None and names is not None:
+        for name in names:
+            block = params.get(name, {})
+            for sub in block.values():
+                if isinstance(sub, dict) and "bias" in sub:
+                    return False
     n, h, w, _ = x.shape
     return _geometry(n, h, w) is not None
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 import collections
 import functools
 import time
+import weakref
 from typing import Any, Dict, Optional
 
 import jax
@@ -52,7 +53,12 @@ def enable_compilation_cache(cache_dir: str = "~/.cache/joshupscale_tpu"
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-_STEP_CACHE: Dict[int, Any] = {}
+# Weak-keyed: the cached step closes over the model, so keying by
+# id(model) could silently serve a dead model's step to a new model
+# allocated at the same address (and would leak entries).  The weak key
+# drops the entry with the model.
+_STEP_CACHE: "weakref.WeakKeyDictionary[InferenceModel, Any]" = (
+    weakref.WeakKeyDictionary())
 
 
 def _select_output(model, outputs):
@@ -72,19 +78,27 @@ def _select_output(model, outputs):
 
 def _shared_step_fns(model):
     """Jitted (step, scan_clip, display) triple per InferenceModel."""
-    key = id(model)
+    key = model
     if key not in _STEP_CACHE:
+        # The closures hold only a weakref to the model (a strong ref
+        # in the cached VALUE would pin the weak KEY forever); they are
+        # only invoked while an Engine keeps the model alive.
+        model_ref = weakref.ref(model)
+
         # State buffers are donated: XLA aliases output state onto input
         # state, keeping the recurrence zero-copy in HBM.
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _step(params, frame, state):
-            outputs, new_state = model.apply(params, frame, state)
-            return _select_output(model, outputs), new_state
+            m = model_ref()
+            outputs, new_state = m.apply(params, frame, state)
+            return _select_output(m, outputs), new_state
 
         def _scan_clip(params, frames, state):
+            m = model_ref()
+
             def body(state, frame):
-                outputs, new_state = model.apply(params, frame, state)
-                return new_state, _select_output(model, outputs)
+                outputs, new_state = m.apply(params, frame, state)
+                return new_state, _select_output(m, outputs)
 
             state, outs = jax.lax.scan(body, state, frames)
             return outs, state
@@ -202,12 +216,30 @@ class Engine:
             return 0.0
         return self.total_process_seconds / self.frames_processed
 
-    def process_clip(self, frames: np.ndarray) -> np.ndarray:
-        """Offline mode: (T, N, H, W, 3) or (T, H, W, 3) -> scan over T."""
+    def process_clip(self, frames: np.ndarray,
+                     chunk_frames: Optional[int] = None) -> np.ndarray:
+        """Offline mode: (T, N, H, W, 3) or (T, H, W, 3) -> scan over T.
+
+        Device-memory note: the scan stacks the whole clip's outputs in
+        HBM before they transfer out -- O(T) device memory (~12 MB/frame
+        bf16 s2d at 1080p on the deferred-display path, ~6 MB u8
+        otherwise).  For long clips pass ``chunk_frames`` to bound HBM
+        use: the clip runs as ceil(T/chunk) scans with the recurrent
+        state carried across chunks (bit-identical to one scan; each
+        distinct chunk length compiles once, so chunked tails of a
+        different length cost one extra compile).
+        """
         self._drain()
         squeeze = frames.ndim == 4
         if squeeze:
             frames = frames[:, None]
+        if chunk_frames is not None and frames.shape[0] > chunk_frames:
+            parts = [
+                self.process_clip(frames[i:i + chunk_frames])
+                for i in range(0, frames.shape[0], chunk_frames)
+            ]
+            result = np.concatenate(parts, axis=0)
+            return result[:, 0] if squeeze else result
         frames = jnp.asarray(frames)
         outs, self.state = self._scan_clip(self.params, frames, self.state)
         if self._deferred:

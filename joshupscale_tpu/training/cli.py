@@ -209,6 +209,12 @@ def train(config: Dict[str, Any], seed: int = 0,
         early_stopping_patience=train_cfg.get("early_stopping_patience"),
         epoch_callback=play_cb,
         tensorboard_dir=tb_dir,
+        # Reference profiles batches 5-10 via TensorBoard unless
+        # --disable-profile (train_local.py:106-110); `profile: false`
+        # in the train section disables it here.
+        profile_dir=(os.path.join(log_dir, "profile")
+                     if tb_dir and train_cfg.get("profile", True)
+                     else None),
     )
 
     export_cfg = config.get("export")

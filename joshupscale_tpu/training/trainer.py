@@ -532,10 +532,17 @@ def fit(
     log_fn: Callable[[str], None] = print,
     epoch_callback: Optional[Callable] = None,
     tensorboard_dir: Optional[str] = None,
+    profile_dir: Optional[str] = None,
+    profile_batch: Tuple[int, int] = (5, 10),
 ):
     """Generic epoch loop: train, validate, checkpoint best+latest.
 
     Terminates on non-finite monitored metrics (reference TerminateOnNaN).
+    When ``profile_dir`` is set, a ``jax.profiler`` trace covers global
+    training steps ``profile_batch[0]..profile_batch[1]`` inclusive (the
+    reference profiles batches 5-10 via the TensorBoard callback unless
+    --disable-profile, train_local.py:106-110); view with TensorBoard or
+    ``tools/profile_step.py``'s trace parser.
     Returns (state, history).
     """
     data_iter = iter(train_data)
@@ -543,6 +550,8 @@ def fit(
     best = float("inf")
     stale = 0
     acc = MeanAccumulator()
+    global_step = 0
+    profiling = False
     tb = TensorBoardLogger(tensorboard_dir) if tensorboard_dir else None
     spe = getattr(step_fn, "steps_per_execution", 1)
     if spe > 1 and steps_per_epoch % spe:
@@ -564,7 +573,15 @@ def fit(
             else:
                 batch = next(data_iter)
             rng, step_rng = jax.random.split(rng)
+            if profile_dir is not None:
+                if not profiling and global_step >= profile_batch[0]:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                elif profiling and global_step > profile_batch[1]:
+                    jax.profiler.stop_trace()
+                    profiling = False
             state, metrics = step_fn(state, batch, step_rng)
+            global_step += spe
             acc.update(metrics)
         train_metrics = acc.result()
         if any(not np.isfinite(v) for v in train_metrics.values()):
@@ -620,4 +637,6 @@ def fit(
                 and stale > early_stopping_patience):
             log_fn(f"early stopping at epoch {epoch}")
             break
+    if profiling:
+        jax.profiler.stop_trace()
     return state, history

@@ -71,6 +71,15 @@ int joshupscale_masked_compose(
     size_t orig_width, size_t orig_height, const uint8_t *mask,
     ptrdiff_t mask_stride, size_t mask_width, size_t mask_height);
 
+// Load a PNG mask asset (the reference ships obs_plugin/data/mask.png)
+// into a malloc'd row-major grayscale keep-map (width*height bytes,
+// 255 = keep upscale).  8-bit non-interlaced PNG, gray/RGB/palette/
+// gray+alpha/RGBA.  Free with joshupscale_free.  Returns NULL on
+// failure (see joshupscale_last_error()).
+uint8_t *joshupscale_load_mask_png(const char *path, size_t *width,
+                                   size_t *height);
+void joshupscale_free(void *ptr);
+
 // ---------------------------------------------------------------------
 // Frame pacing (the reference OBS filter's "Limit to 30 FPS",
 // obs_plugin/src/filter.cc:221-226).  Accumulate source seconds with

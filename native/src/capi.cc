@@ -2,6 +2,7 @@
 
 #include "joshupscale/capi.h"
 
+#include <cstdlib>
 #include <cstring>
 #include <memory>
 #include <string>
@@ -10,6 +11,7 @@
 #include "joshupscale/compose.h"
 #include "joshupscale/core.h"
 #include "joshupscale/pacing.h"
+#include "joshupscale/png.h"
 #include "stream.h"
 
 namespace {
@@ -156,6 +158,30 @@ int joshupscale_masked_compose(
     return -1;
   }
 }
+
+uint8_t *joshupscale_load_mask_png(const char *path, size_t *width,
+                                   size_t *height) {
+  try {
+    std::size_t w = 0;
+    std::size_t h = 0;
+    std::vector<uint8_t> gray =
+        JoshUpscale::core::loadMaskPng(path, &w, &h);
+    auto *out = static_cast<uint8_t *>(std::malloc(gray.size()));
+    if (out == nullptr) {
+      g_lastError = "joshupscale_load_mask_png: out of memory";
+      return nullptr;
+    }
+    std::memcpy(out, gray.data(), gray.size());
+    *width = w;
+    *height = h;
+    return out;
+  } catch (...) {
+    g_lastError = JoshUpscale::core::getExceptionString();
+    return nullptr;
+  }
+}
+
+void joshupscale_free(void *ptr) { std::free(ptr); }
 
 JoshUpscalePacer *joshupscale_create_pacer(int limit_fps,
                                            float frame_budget_seconds) {
