@@ -1,0 +1,238 @@
+"""From-scratch ONNX export of the inference model (no donor graph).
+
+Emits the reference-SHAPED deployment graph directly from the param
+tree: the graph a reference user gets after their whole surgery
+pipeline (tf2onnx -> simplify -> cleanup -> replace_dense_warp ->
+remove_uint8; reference scripts/training/train_local.py:184-209 and
+scripts/inference/onnx/*):
+
+- all-NCHW body with a single NHWC input transpose on ``cur_frame``
+  (cleanup.py:95-185 semantics),
+- BN folded into Conv/ConvTranspose weights (onnxsim fusion semantics),
+- the tfa dense warp as a native GridSample (bilinear, border,
+  align_corners=0) fed by the ``grid - flow`` query points normalized
+  exactly like replace_dense_warp.py:70-112 (slice-reverse (y,x)->(x,y),
+  divide by (W/2, H/2), shift by (-1+1/W, -1+1/H)),
+- float I/O (remove_uint8.py semantics; pre/postprocess stay as
+  Mul/Add arithmetic),
+- reference I/O names: input ``cur_frame`` [1,H,W,3] NHWC + states
+  ``pre_gen`` / ``last_frame_i`` NCHW; outputs ``output`` (NHWC,
+  [0,255] range), ``output_raw`` NCHW, ``out_frame_i`` NCHW
+  (models.py:1073-1121 get_onnx_model naming).
+
+Opset 16 (GridSample minimum, replace_dense_warp.py:69).  Initializers
+are named with the param-tree dotted paths (``flow.conv_1.kernel``) so
+``tools/onnx_to_npz.py`` maps them straight back.
+
+The serializer is the self-contained codec in ``onnx_minimal.py`` --
+no ``onnx`` package needed on the TPU image.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+from joshupscale_tpu.export import onnx_minimal as om
+from joshupscale_tpu.models.common import BN_EPS
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _fold_conv_bn(conv: Dict[str, Any], bn: Dict[str, Any]):
+    """HWIO kernel + BN -> (HWIO kernel', bias') (models.common.conv_bn
+    formula)."""
+    inv = _np(bn["gamma"]) / np.sqrt(_np(bn["moving_variance"]) + BN_EPS)
+    offset = _np(bn["beta"]) - _np(bn["moving_mean"]) * inv
+    kernel = _np(conv["kernel"]) * inv
+    if "bias" in conv:
+        offset = offset + _np(conv["bias"]) * inv
+    return kernel, offset
+
+
+class _GraphBuilder:
+    def __init__(self):
+        self.nodes: List[bytes] = []
+        self.inits: List[bytes] = []
+        self._n = 0
+
+    def tensor(self, name: str, arr: np.ndarray) -> str:
+        self.inits.append(om.make_tensor(name, np.asarray(arr)))
+        return name
+
+    def node(self, op: str, inputs, out: str = None, **attrs) -> str:
+        if out is None:
+            self._n += 1
+            out = f"t{self._n}"
+        self.nodes.append(
+            om.make_node(op, inputs, [out], name=f"{op.lower()}_{out}",
+                         **attrs))
+        return out
+
+    def conv(self, x: str, path: str, kernel_hwio: np.ndarray,
+             bias: np.ndarray = None) -> str:
+        k = np.transpose(kernel_hwio, (3, 2, 0, 1))  # HWIO -> OIHW
+        kh, kw = k.shape[2], k.shape[3]
+        inputs = [x, self.tensor(f"{path}.kernel", k)]
+        if bias is not None:
+            inputs.append(self.tensor(f"{path}.bias", _np(bias)))
+        return self.node(
+            "Conv", inputs, kernel_shape=[kh, kw], strides=[1, 1],
+            pads=[kh // 2, kw // 2, kh // 2, kw // 2])
+
+    def conv_transpose_2x(self, x: str, path: str,
+                          kernel_kkoi: np.ndarray,
+                          bias: np.ndarray = None) -> str:
+        # storage (2, 2, O, I) -> ONNX ConvTranspose weight (I, O, kH, kW)
+        k = np.transpose(_np(kernel_kkoi), (3, 2, 0, 1))
+        inputs = [x, self.tensor(f"{path}.kernel", k)]
+        if bias is not None:
+            inputs.append(self.tensor(f"{path}.bias", _np(bias)))
+        return self.node(
+            "ConvTranspose", inputs, kernel_shape=[2, 2], strides=[2, 2],
+            pads=[0, 0, 0, 0])
+
+    def res_blocks(self, x: str, params: Dict[str, Any],
+                   scope: str) -> str:
+        names = sorted(
+            (k for k in params if k.startswith("block_")),
+            key=lambda s: int(s.split("_")[1]))
+        for name in names:
+            blk = params[name]
+            shortcut = x
+            k1, b1 = _fold_conv_bn(blk["conv_1"], blk["bn_1"])
+            x = self.conv(x, f"{scope}.{name}.conv_1", k1, b1)
+            x = self.node("Relu", [x])
+            k2, b2 = _fold_conv_bn(blk["conv_2"], blk["bn_2"])
+            x = self.conv(x, f"{scope}.{name}.conv_2", k2, b2)
+            x = self.node("Add", [x, shortcut])
+            x = self.node("Relu", [x])
+        return x
+
+
+def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
+                frame_width: int, num_flow_frames: int = 4) -> None:
+    """Write the deployable ONNX graph for a resnet-flow + resnet-
+    generator inference model (the reference's default architecture).
+
+    ``params``: the inference param tree ``{"flow": ..., "generator":
+    ...}`` (plain f32 leaves; BN folded here).
+    """
+    h, w = frame_height, frame_width
+    hr_h, hr_w = h * 4, w * 4
+    k = num_flow_frames - 1
+    g = _GraphBuilder()
+
+    # ---- inputs ------------------------------------------------------
+    inputs = [om.make_value_info("cur_frame", om.FLOAT, [1, h, w, 3])]
+    inputs.append(
+        om.make_value_info("pre_gen", om.FLOAT, [1, 3, hr_h, hr_w]))
+    for i in range(k):
+        inputs.append(
+            om.make_value_info(f"last_frame_{i}", om.FLOAT,
+                               [1, 3, h, w]))
+
+    # ---- preprocess (remove_uint8 keeps the scale arithmetic) --------
+    t_cur = g.node("Transpose", ["cur_frame"], perm=[0, 3, 1, 2])
+    scale = g.tensor("pre.scale", np.float32(1.0 / 255.0))
+    half = g.tensor("pre.half", np.float32(0.5))
+    pre = g.node("Sub", [g.node("Mul", [t_cur, scale]), half],
+                 out="pre")
+
+    # ---- flow net ----------------------------------------------------
+    fp = params["flow"]
+    x = g.node("Concat",
+               [pre] + [f"last_frame_{i}" for i in range(k)], axis=1)
+    k1, b1 = _fold_conv_bn(fp["conv_1"], fp["bn_1"])
+    x = g.conv(x, "flow.conv_1", k1, b1)
+    x = g.node("Relu", [x])
+    x = g.res_blocks(x, fp, "flow")
+    x = g.conv(x, "flow.conv_2", _np(fp["conv_2"]["kernel"]),
+               fp["conv_2"]["bias"])
+    flow = g.node("DepthToSpace", [x], blocksize=4, mode="DCR",
+                  out="flow")
+
+    # ---- dense warp as GridSample (replace_dense_warp semantics) ----
+    flow_nhwc = g.node("Transpose", [flow], perm=[0, 2, 3, 1])
+    yy, xx = np.meshgrid(np.arange(hr_h, dtype=np.float32),
+                         np.arange(hr_w, dtype=np.float32),
+                         indexing="ij")
+    base = np.stack([yy, xx], axis=-1)[None]  # (1, 4H, 4W, 2) (y, x)
+    query = g.node(
+        "Sub", [g.tensor("warp.base_grid", base), flow_nhwc])
+    # (y, x) -> (x, y) via the same reverse slice the reference emits.
+    sliced = g.node(
+        "Slice",
+        [query,
+         g.tensor("warp.sl_start", np.asarray([-1], np.int64)),
+         g.tensor("warp.sl_end", np.asarray([-3], np.int64)),
+         g.tensor("warp.sl_axis", np.asarray([-1], np.int64)),
+         g.tensor("warp.sl_step", np.asarray([-1], np.int64))])
+    norm = g.node(
+        "Div", [sliced, g.tensor(
+            "warp.norm", np.asarray([hr_w * 0.5, hr_h * 0.5],
+                                    np.float32))])
+    grid = g.node(
+        "Add", [norm, g.tensor(
+            "warp.shift", np.asarray(
+                [-1 + 1 / hr_w, -1 + 1 / hr_h], np.float32))])
+    pre_warp = g.node(
+        "GridSample", ["pre_gen", grid], mode="bilinear",
+        padding_mode="border", align_corners=0, out="pre_warp")
+
+    # ---- generator ---------------------------------------------------
+    gp = params["generator"]
+    s2d = g.node("SpaceToDepth", [pre_warp], blocksize=4)
+    x = g.node("Concat", [pre, s2d], axis=1)
+    k1, b1 = _fold_conv_bn(gp["conv_1"], gp["bn_1"])
+    x = g.conv(x, "generator.conv_1", k1, b1)
+    x = g.node("Relu", [x])
+    x = g.res_blocks(x, gp, "generator")
+    # conv_trans_1 (bias-free) + bn_2 folded along the O axis.
+    inv = _np(gp["bn_2"]["gamma"]) / np.sqrt(
+        _np(gp["bn_2"]["moving_variance"]) + BN_EPS)
+    offset = (_np(gp["bn_2"]["beta"])
+              - _np(gp["bn_2"]["moving_mean"]) * inv)
+    kt1 = _np(gp["conv_trans_1"]["kernel"]) * inv[None, None, :, None]
+    x = g.conv_transpose_2x(x, "generator.conv_trans_1", kt1, offset)
+    x = g.node("Relu", [x])
+    x = g.conv_transpose_2x(
+        x, "generator.conv_trans_2", gp["conv_trans_2"]["kernel"],
+        gp["conv_trans_2"]["bias"])
+    x = g.node("Tanh", [x])
+    # TF1 bilinear x4 skip: Resize with asymmetric coordinates
+    # (align_corners=False, half_pixel_centers=False).
+    up = g.node(
+        "Resize",
+        [pre, "", g.tensor("up.scales",
+                           np.asarray([1, 1, 4, 4], np.float32))],
+        mode="linear", coordinate_transformation_mode="asymmetric")
+    x = g.node("Add", [up, x])
+    out_raw = g.node(
+        "Clip", [x, g.tensor("clip.min", np.float32(-0.5)),
+                 g.tensor("clip.max", np.float32(0.5))],
+        out="output_raw")
+
+    # ---- postprocess + outputs --------------------------------------
+    post = g.node("Mul", [g.node("Add", [out_raw, half]),
+                          g.tensor("post.scale", np.float32(255.0))])
+    g.node("Transpose", [post], perm=[0, 2, 3, 1], out="output")
+    g.node("Identity", [pre], out="out_frame_0")
+    for i in range(k - 1):
+        g.node("Identity", [f"last_frame_{i}"], out=f"out_frame_{i + 1}")
+
+    outputs = [om.make_value_info("output", om.FLOAT,
+                                  [1, hr_h, hr_w, 3]),
+               om.make_value_info("output_raw", om.FLOAT,
+                                  [1, 3, hr_h, hr_w])]
+    for i in range(k):
+        outputs.append(om.make_value_info(f"out_frame_{i}", om.FLOAT,
+                                          [1, 3, h, w]))
+
+    graph = om.make_graph("joshupscale", g.nodes, inputs, outputs,
+                          g.inits)
+    with open(path, "wb") as f:
+        f.write(om.make_model(graph, opset=16))

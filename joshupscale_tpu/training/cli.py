@@ -275,6 +275,22 @@ def _export(export_cfg, config, models, built, state) -> None:
         )
         print(f"exported package to {out_dir}/package")
 
+        # ONNX exit door back into the reference's TensorRT toolchain
+        # (reference train_local.py:194-207 exports via tf2onnx; here
+        # the post-surgery graph is emitted directly, no donor needed).
+        if export_cfg.get("onnx"):
+            from joshupscale_tpu.export.onnx_export import export_onnx
+
+            m = inference.obj
+            onnx_path = os.path.join(out_dir, "model.onnx")
+            try:
+                export_onnx(onnx_path, inference.params,
+                            m.frame_height, m.frame_width,
+                            num_flow_frames=m.num_flow_frames)
+                print(f"exported ONNX graph to {onnx_path}")
+            except (KeyError, NotImplementedError) as exc:
+                print(f"ONNX export skipped (unsupported arch): {exc}")
+
 
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -1,0 +1,104 @@
+"""Full-ARCHITECTURE multichip check: the flagship GAN training step
+(flow 64f/10rb + generator 64f/24rb -- the reference's default sizes,
+reference scripts/training/models.py:259-260, 485-486) at crop 32,
+sharded over a 2-device data-parallel mesh, must produce finite losses
+AND match the single-device step on the same total batch.
+
+The smoke-scale mesh tests (test_training.py) prove the sharding
+plumbing; this proves the REAL model shards within memory/layout
+constraints -- the class of problem (fusion-emitter hazards, layout
+blowups) that in round 2 only appeared at full size.
+
+Cost note: ~4-5 min of XLA compile per configuration on CPU (the
+19-frame ping-pong graph); execution itself is <1 s.  This is the
+single most expensive test in the suite, by design.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from joshupscale_tpu.models import create_models
+from joshupscale_tpu.training import build_gan_step, init_gan_state
+
+CROP = 32
+
+
+def _full_config():
+    return {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 64, "num_res_blocks": 10},
+        "generator": {"name": "generator-resnet", "num_filters": 64,
+                      "num_res_blocks": 24},
+        "discriminator": {"name": "discriminator", "alpha": 0.25},
+        "vgg": {"name": "vgg"},
+        "gan": {"name": "gan", "flow": {"model": "flow"},
+                "generator": {"model": "generator"},
+                "discriminator": {"model": "discriminator"},
+                "vgg": {"model": "vgg"}},
+    }
+
+
+@pytest.mark.slow
+def test_full_arch_gan_dp_matches_single(rng):
+    models = create_models(_full_config(), seed=0)
+    built = models["gan"]
+    trainer = built.obj
+    # SGD keeps updates proportional to gradients (reduction-order
+    # noise is not amplified the way Adam's g/rsqrt(v) is).
+    gopt, dopt = optax.sgd(1e-4), optax.sgd(1e-4)
+
+    batch = {
+        "input": jnp.asarray(
+            rng.random((2, 10, CROP, CROP, 3)).astype(np.float32) - 0.5),
+        "target": jnp.asarray(
+            rng.random((2, 10, CROP * 4, CROP * 4, 3)).astype(np.float32)
+            - 0.5),
+    }
+    key = jax.random.PRNGKey(7)
+
+    # --- single device (reference semantics) --------------------------
+    ref_step = build_gan_step(trainer, gopt, dopt, built.params["vgg"])
+    ref_state = init_gan_state(
+        trainer, built.params["gen"], built.params["discr"], gopt, dopt)
+    ref_state, ref_metrics = ref_step(ref_state, batch, key)
+    for k, v in ref_metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    # --- 2-device data-parallel mesh ----------------------------------
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    dp_step = build_gan_step(
+        trainer, gopt, dopt, built.params["vgg"], mesh=mesh)
+    dp_state = init_gan_state(
+        trainer, built.params["gen"], built.params["discr"], gopt, dopt)
+    repl = NamedSharding(mesh, P())
+    dp_state = type(dp_state)(
+        *(jax.device_put(getattr(dp_state, f.name), repl)
+          for f in dataclasses.fields(dp_state)))
+    dp_batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    dp_state, dp_metrics = dp_step(dp_state, dp_batch, key)
+
+    # Finite losses at full size on the mesh.
+    for k, v in dp_metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    # DP == single-device (cross-replica reductions only reorder fp32
+    # summation).
+    np.testing.assert_allclose(
+        float(ref_metrics["gen_loss"]), float(dp_metrics["gen_loss"]),
+        rtol=5e-4)
+    np.testing.assert_allclose(
+        float(ref_metrics["discr_loss"]),
+        float(dp_metrics["discr_loss"]), rtol=5e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.gen_params),
+        jax.tree_util.tree_leaves(dp_state.gen_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4)

@@ -26,17 +26,32 @@ import sys
 import numpy as np
 
 
-def main(onnx_path: str, npz_path: str) -> int:
+def _load_graph(onnx_path: str):
+    """(initializers {name: array}, conv_like {init_name: op_type}).
+
+    Uses the real ``onnx`` package when present, otherwise falls back
+    to the repo's self-contained protobuf decoder
+    (joshupscale_tpu.export.onnx_minimal) so the tool also runs on the
+    TPU serving image.
+    """
     try:
         import onnx
         from onnx import numpy_helper
     except ImportError:
-        print(
-            "error: the 'onnx' package is required. Run this tool in "
-            "the reference's export environment.",
-            file=sys.stderr,
-        )
-        return 1
+        sys.path.insert(
+            0, __import__("os").path.dirname(
+                __import__("os").path.dirname(
+                    __import__("os").path.abspath(__file__))))
+        from joshupscale_tpu.export import onnx_minimal as om
+
+        with open(onnx_path, "rb") as f:
+            model = om.decode_model(f.read())
+        conv_like = {}
+        for node in model["nodes"]:
+            if node["op_type"] in ("Conv", "ConvTranspose"):
+                for inp in node["inputs"][1:]:
+                    conv_like[inp] = node["op_type"]
+        return model["initializers"], conv_like
 
     model = onnx.load(onnx_path)
     conv_like = {}
@@ -44,11 +59,15 @@ def main(onnx_path: str, npz_path: str) -> int:
         if node.op_type in ("Conv", "ConvTranspose"):
             for inp in node.input[1:]:
                 conv_like[inp] = node.op_type
+    inits = {init.name: numpy_helper.to_array(init)
+             for init in model.graph.initializer}
+    return inits, conv_like
 
+
+def main(onnx_path: str, npz_path: str) -> int:
+    inits, conv_like = _load_graph(onnx_path)
     out = {}
-    for init in model.graph.initializer:
-        arr = numpy_helper.to_array(init)
-        name = init.name
+    for name, arr in inits.items():
         key = _normalize(name)
         if name in conv_like and arr.ndim == 4:
             if conv_like[name] == "Conv":
