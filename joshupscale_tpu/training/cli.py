@@ -75,6 +75,14 @@ def train(config: Dict[str, Any], seed: int = 0,
     )
     from joshupscale_tpu.training.play import PlayCallback
 
+    # Persistent XLA compile cache: the full-architecture train step
+    # costs ~20 min of remote compile on the tunneled TPU; cached
+    # executables make restarts/resumes near-instant (the same
+    # .trt-timing-cache analog the serving engine uses).
+    from joshupscale_tpu.runtime.engine import enable_compilation_cache
+
+    enable_compilation_cache()
+
     train_cfg = dict(config.get("train", {}))
     models = create_models(config["models"], seed=seed)
 

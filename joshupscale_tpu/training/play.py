@@ -53,16 +53,30 @@ def predict_sequence(
         ups = upscale_nearest(
             inputs.reshape(-1, h, w, 3).astype(jnp.float32), 4
         ).reshape(n, 10, h * 4, w * 4, 3)
-        ups_pp = jnp.concatenate([ups, ups[:, 8:0:-1]], axis=1)
-        tgt_pp = jnp.concatenate([targets, targets[:, 8:0:-1]], axis=1)
-        result["comparison"] = jnp.concatenate(
-            [ups_pp, gen, tgt_pp], axis=3
-        )
-        warps = jnp.stack(pre_warps[1:], axis=1)  # (N, 16, ...)
-        result["pre_warp"] = jnp.concatenate(
-            [ups_pp[:, 2:], warps, tgt_pp[:, 2:]], axis=3
-        )
+        result["upscaled"] = ups
+        result["pre_warp_frames"] = jnp.stack(pre_warps[1:], axis=1)
     return result
+
+
+def build_strips(result, targets) -> Dict[str, np.ndarray]:
+    """Assemble the side-by-side GIF strips (input | generated | target)
+    ON THE HOST.  These width-axis concatenations of 18-frame HR stacks
+    are display-only; keeping them out of the jitted graph avoids the
+    XLA:TPU fusion-emitter concat/pad-fold hazard (a pad_low CHECK crash
+    at full size -- same emitter-bug class as the round-2 ping-pong
+    concat crash) and wastes no device time on GIF pixels."""
+    gen = np.asarray(result["gen_outputs"])
+    ups = np.asarray(result["upscaled"])
+    tgt = np.asarray(targets)
+    ups_pp = np.concatenate([ups, ups[:, 8:0:-1]], axis=1)
+    tgt_pp = np.concatenate([tgt, tgt[:, 8:0:-1]], axis=1)
+    warps = np.asarray(result["pre_warp_frames"])
+    return {
+        "gen_outputs": gen,
+        "comparison": np.concatenate([ups_pp, gen, tgt_pp], axis=3),
+        "pre_warp": np.concatenate(
+            [ups_pp[:, 2:], warps, tgt_pp[:, 2:]], axis=3),
+    }
 
 
 def to_uint8(frames: np.ndarray) -> np.ndarray:
@@ -110,7 +124,9 @@ class PlayCallback:
                 "flow": state.gen_params["flow"],
                 "generator": state.gen_params["generator"],
             }
-        result = self._predict(params, self.inputs, self.targets)
+        result = build_strips(
+            self._predict(params, self.inputs, self.targets),
+            self.targets)
         comp = to_uint8(result["comparison"])
         for i in range(min(comp.shape[0], 4)):
             save_gif(

@@ -20,6 +20,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the full-architecture tests cost minutes of
+# XLA compile; cached executables (keyed by HLO hash) make suite re-runs
+# cheap.  Safe across code changes -- a changed graph is a cache miss.
+_cache = os.path.expanduser("~/.cache/joshupscale_tpu_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

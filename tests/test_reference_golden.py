@@ -188,3 +188,76 @@ def test_reverse_door_reference_loads_our_h5(ref_models_mod, tmp_path):
     theirs = ref_flow(
         [tf.constant(f) for f in frames_np], training=False).numpy()
     np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-4)
+
+
+def test_reference_golden_autoencoder_brightness_pad(
+        ref_models_mod, tmp_path):
+    """The gnarlier inference variant against the reference's own code:
+    AUTOENCODER flow (pool/upsample ladder), normalize_brightness, and
+    flow_pad_factor (frame padded 36x44 -> 40x48 for the pooling
+    ladder, flow unpadded after).  60-frame recurrent clip, same
+    acceptance as the resnet golden test."""
+    from joshupscale_tpu.export.importer import load_keras_h5
+    from joshupscale_tpu.models import create_models
+    from joshupscale_tpu.runtime.engine import Engine
+
+    ae_filters = [8, 16, 32, 16, 8]
+    ref = ref_models_mod.create_models({
+        "flow": {"name": "flow-autoencoder", "num_inputs": 4,
+                 "filters": ae_filters},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 2},
+        "inference": {"name": "inference",
+                      "generator_model": {"model": "generator"},
+                      "flow_model": {"model": "flow"},
+                      "skip_processing": False,
+                      "frame_height": H, "frame_width": W,
+                      "flow_pad_factor": 8,
+                      "normalize_brightness": True},
+    })["inference"]
+    _randomize(ref, np.random.default_rng(11))
+    h5 = str(tmp_path / "ref_ae.weights.h5")
+    ref.save_weights(h5)
+
+    models = create_models({
+        "flow": {"name": "flow-autoencoder", "num_inputs": 4,
+                 "filters": ae_filters},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 2},
+        "inference": {"name": "inference",
+                      "generator": {"model": "generator"},
+                      "flow": {"model": "flow"},
+                      "skip_processing": False,
+                      "frame_height": H, "frame_width": W,
+                      "flow_pad_factor": 8,
+                      "normalize_brightness": True},
+    }, seed=0)
+    built = models["inference"]
+    params = load_keras_h5(h5, built.params)
+
+    rng = np.random.default_rng(12)
+    T = 60
+    frames = rng.integers(0, 256, (T, 1, H, W, 3), np.uint8)
+
+    # Reference predict loop; padded last_frames are 40x48 here.
+    ph = ((H + 7) // 8) * 8
+    pw = ((W + 7) // 8) * 8
+    pre_gen = np.zeros((1, H * 4, W * 4, 3), np.float32)
+    last = [np.zeros((1, ph, pw, 3), np.float32) for _ in range(3)]
+    ref_outs = []
+    for t in range(T):
+        o = ref(
+            [tf.constant(frames[t])] + [tf.constant(pre_gen)]
+            + [tf.constant(x) for x in last],
+            training=False,
+        )
+        pre_gen = o["output_raw"].numpy()
+        last = [x.numpy() for x in o["last_frames"]]
+        ref_outs.append(o["output"].numpy()[0])
+    ref_outs = np.stack(ref_outs)
+
+    eng = Engine(built.obj, params, batch_size=1)
+    ours = eng.process_clip(frames[:, 0])
+    diff = np.abs(ours.astype(np.int32) - ref_outs.astype(np.int32))
+    assert diff.mean() / 255.0 < 1e-3
+    assert diff.max() <= 1, f"max u8 step {diff.max()}"
