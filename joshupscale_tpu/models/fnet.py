@@ -42,6 +42,7 @@ def flow_resnet_init(
     num_filters: int = 64,
     num_res_blocks: int = 10,
     dtype=jnp.float32,
+    zero_init_tail: bool = False,
 ):
     keys = jax.random.split(key, num_res_blocks + 2)
     params = {
@@ -51,6 +52,13 @@ def flow_resnet_init(
         "conv_2": conv2d_init(keys[1], 1, num_filters, 32, use_bias=True,
                               dtype=dtype),
     }
+    if zero_init_tail:
+        # Zero flow head => identity warp at step 0 (see the generator's
+        # zero_init_tail note); the warp loss then trains the flow net
+        # from "no motion" instead of from a random vector field.
+        params["conv_2"] = {
+            k: jnp.zeros_like(v) for k, v in params["conv_2"].items()
+        }
     for i in range(num_res_blocks):
         params[f"block_{i + 1}"] = res_block_init(
             keys[2 + i], num_filters, dtype=dtype

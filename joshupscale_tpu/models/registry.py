@@ -65,10 +65,11 @@ def strip_meta(tree):
 
 def _build_flow_resnet(key, *, num_inputs=4, num_filters=64,
                        num_res_blocks=10, activation="relu",
-                       dtype=jnp.float32, **_):
+                       dtype=jnp.float32, zero_init_tail=False, **_):
     params = fnet.flow_resnet_init(
         key, num_inputs=num_inputs, num_filters=num_filters,
         num_res_blocks=num_res_blocks, dtype=dtype,
+        zero_init_tail=zero_init_tail,
     )
     apply = functools.partial(
         fnet.flow_resnet_apply,
@@ -98,11 +99,13 @@ def _build_flow_autoencoder(key, *, num_inputs=4, filters=None,
 
 def _build_generator_resnet(key, *, num_filters=64, num_res_blocks=24,
                             num_fade_in_res_blocks=0, fade_in_period=0,
-                            activation="relu", dtype=jnp.float32, **_):
+                            activation="relu", dtype=jnp.float32,
+                            zero_init_tail=False, **_):
     params = generator.generator_resnet_init(
         key, num_filters=num_filters, num_res_blocks=num_res_blocks,
         num_fade_in_res_blocks=num_fade_in_res_blocks,
         fade_in_period=fade_in_period, dtype=dtype,
+        zero_init_tail=zero_init_tail,
     )
     apply = functools.partial(
         generator.generator_resnet_apply, activation=activation

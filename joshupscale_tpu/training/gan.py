@@ -144,6 +144,11 @@ class GANTrainer:
         updates, see FRVSRTrainer.forward).
         """
         from joshupscale_tpu.models.common import Mutables
+        from joshupscale_tpu.training.frvsr import preprocess_batch
+
+        # u8 batches normalize on device (see FRVSRTrainer.forward).
+        inputs = preprocess_batch(inputs)
+        targets = preprocess_batch(targets)
 
         b, t, h, w, _ = inputs.shape
         td = 2 * t - 1  # 19

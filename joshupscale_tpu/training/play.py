@@ -105,9 +105,13 @@ class PlayCallback:
 
     def __init__(self, model, play_batch: Dict[str, np.ndarray],
                  out_dir: str, interval: int = 1, tb_logger=None):
+        from joshupscale_tpu.training.frvsr import preprocess_batch
+
         self.model = model
-        self.inputs = jnp.asarray(play_batch["input"])
-        self.targets = jnp.asarray(play_batch["target"])
+        # u8 play batches (device-normalize pipelines) -> floats once.
+        self.inputs = preprocess_batch(jnp.asarray(play_batch["input"]))
+        self.targets = preprocess_batch(
+            jnp.asarray(play_batch["target"]))
         self.out_dir = out_dir
         self.interval = max(int(interval), 1)
         self.tb_logger = tb_logger

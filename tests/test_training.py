@@ -397,3 +397,61 @@ def test_pingpong_take_matches_concat_form(rng):
         [np.asarray(x), np.asarray(x)[:, -2::-1]], axis=1)
     np.testing.assert_array_equal(got, want)
     assert got.shape[1] == 19
+
+
+def _u8_batch(rng, b=2, t=10, crop=CROP):
+    """uint8 batch and its exactly-normalized float twin."""
+    u8 = {
+        "input": rng.integers(0, 256, (b, t, crop, crop, 3), dtype=np.uint8),
+        "target": rng.integers(
+            0, 256, (b, t, crop * 4, crop * 4, 3), dtype=np.uint8),
+    }
+    f32 = {k: jnp.asarray(v.astype(np.float32) / 255.0 - 0.5)
+           for k, v in u8.items()}
+    return {k: jnp.asarray(v) for k, v in u8.items()}, f32
+
+
+def test_frvsr_u8_batch_matches_float(rng):
+    """uint8 training batches (device-side normalize, the tfrecords-TPU
+    input layout: 4x smaller host->HBM transfer) produce bit-identical
+    metrics to host-normalized float batches."""
+    u8_batch, f32_batch = _u8_batch(rng)
+    key = jax.random.PRNGKey(7)
+    mets = []
+    for batch in (u8_batch, f32_batch):
+        models = create_models(_config(), seed=0)
+        trainer = models["frvsr"].obj
+        params = models["frvsr"].params
+        opt = make_optimizer(1e-3)
+        step = build_frvsr_step(trainer, opt)
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+        state, m = step(state, batch, key)
+        mets.append({k: float(v) for k, v in m.items()})
+    _assert_metrics_close(*mets)
+
+
+def _assert_metrics_close(a, b):
+    # Loss *components* are bit-identical; summed totals may differ in
+    # the last ulps because the u8 graph's extra convert ops change how
+    # XLA fuses (and so reassociates) the final adds.
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+
+
+def test_gan_u8_batch_matches_float(gan_setup, rng):
+    """Same device-normalize equivalence for the GAN step."""
+    trainer, gen_params, discr_params, vgg_params = gan_setup
+    u8_batch, f32_batch = _u8_batch(rng, b=1)
+    key = jax.random.PRNGKey(8)
+    mets = []
+    for batch in (u8_batch, f32_batch):
+        gopt = make_optimizer(1e-4)
+        dopt = make_optimizer(1e-4)
+        step = build_gan_step(trainer, gopt, dopt, vgg_params)
+        state = _gan_state(trainer, gen_params, discr_params, gopt, dopt)
+        state, m = step(state, batch, key)
+        mets.append({k: float(v) for k, v in m.items()})
+    _assert_metrics_close(*mets)

@@ -109,7 +109,9 @@ def build(variant, table, ay, ax, py, px):
             acc = combine_2d(rows, ay, ax, py, px)
         return carry + acc[0, 0, 0, 0].astype(jnp.float32), ()
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1,))
     def run(idx, T):
         idxs = jnp.broadcast_to(idx, (T,) + idx.shape)
         total, _ = jax.lax.scan(body, jnp.float32(0), idxs)
