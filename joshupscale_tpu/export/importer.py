@@ -90,9 +90,25 @@ def save_params_npz(path: str, params) -> None:
     np.savez(path, **flatten_params(params))
 
 
-def load_params_npz(path: str, template):
+def load_params_npz(path: str, template, prefix: str = ""):
+    """Load a flat npz into ``template``.
+
+    ``prefix`` selects a dotted subtree of the file -- e.g.
+    ``prefix="params.flow"`` pulls the flow net straight out of a saved
+    FRVSR TrainState checkpoint (config:
+    ``weights: {path: ..., prefix: params.flow}``), the GAN-stage
+    bootstrap (reference models.py:1166-1186 copy_weights semantics).
+    """
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
+    if prefix:
+        dot = prefix + "."
+        sub = {k[len(dot):]: v for k, v in flat.items()
+               if k.startswith(dot)}
+        if not sub:
+            raise KeyError(
+                f"no keys under prefix {prefix!r} in {path}")
+        flat = sub
     return unflatten_into(template, flat)
 
 

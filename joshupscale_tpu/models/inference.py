@@ -197,15 +197,14 @@ class InferenceModel:
         skip_processing), "output_denorm", "output_raw", "pre_warp".
         """
         mut = mut or Mutables(False)
-        cdt = self.compute_dtype
-
-        if self.skip_processing:
-            pre = cur_frame
-        else:
-            pre = preprocess(cur_frame)
-        pre = pre.astype(cdt)
 
         if self.remove_flow:
+            cdt = self.compute_dtype
+            if self.skip_processing:
+                pre = cur_frame
+            else:
+                pre = preprocess(cur_frame)
+            pre = pre.astype(cdt)
             # Non-temporal variant: generator on the frame alone.
             output_raw = self.generator_apply(
                 params["generator"], pre, None,
@@ -219,7 +218,41 @@ class InferenceModel:
                 outputs["output"] = postprocess(output_raw)
             return outputs, state
 
+        inter, flow_state = self.apply_flow_stage(
+            params, cur_frame, {"last_frames": state["last_frames"]}, mut
+        )
+        outputs, gen_state = self.apply_gen_stage(
+            params, inter, {"pre_gen": state["pre_gen"]}, mut
+        )
+        return outputs, {**gen_state, **flow_state}
+
+    def apply_flow_stage(
+        self,
+        params: Dict[str, Any],
+        cur_frame: jnp.ndarray,
+        state: State,
+        mut: Optional[Mutables] = None,
+    ) -> Tuple[Dict[str, Any], State]:
+        """Stage F of the recurrence: preprocess + flow net.
+
+        Depends ONLY on input frames (the ``last_frames`` shift
+        register), never on generator output -- this is the pipeline
+        seam `parallel.PipelinedEngine` exploits: F(t+1) overlaps with
+        stage G(t) on another chip.  Returns the inter-stage payload
+        ``{"pre", "flow"[, "bright"]}`` and the new flow-side state
+        ``{"last_frames"}``.
+        """
+        mut = mut or Mutables(False)
+        cdt = self.compute_dtype
+
+        if self.skip_processing:
+            pre = cur_frame
+        else:
+            pre = preprocess(cur_frame)
+        pre = pre.astype(cdt)
+
         cur_pad = pre
+        bright = None
         if self.normalize_brightness:
             bright = brightness_op(pre)
             cur_pad = cur_pad - bright
@@ -238,6 +271,35 @@ class InferenceModel:
                                mut=mut.scoped("flow"), s2d_output=s2d)
         flow = self._unpad_flow_s2d(flow) if s2d else (
             self._unpad_flow(flow))
+
+        inter = {"pre": pre, "flow": flow}
+        if bright is not None:
+            inter["bright"] = bright
+        new_state = {
+            "last_frames": [cur_pad.astype(state["last_frames"][0].dtype)]
+            + state["last_frames"][:-1],
+        }
+        return inter, new_state
+
+    def apply_gen_stage(
+        self,
+        params: Dict[str, Any],
+        inter: Dict[str, Any],
+        state: State,
+        mut: Optional[Mutables] = None,
+    ) -> Tuple[Dict[str, Any], State]:
+        """Stage G of the recurrence: warp + generator + display.
+
+        Consumes stage F's payload and the ``pre_gen`` feedback state;
+        this is the serial warp->generator chain that bounds the
+        pipelined frame interval.
+        """
+        mut = mut or Mutables(False)
+        cdt = self.compute_dtype
+        pre = inter["pre"]
+        flow = inter["flow"]
+        bright = inter.get("bright")
+        s2d = self.s2d_mode and not mut.training
 
         u8_state = self.u8_state and s2d
         if u8_state:
@@ -315,8 +377,6 @@ class InferenceModel:
             "pre_gen": (postprocess(jnp.clip(output_raw, -0.5, 0.5))
                         if u8_state
                         else output_raw.astype(state["pre_gen"].dtype)),
-            "last_frames": [cur_pad.astype(state["last_frames"][0].dtype)]
-            + state["last_frames"][:-1],
         }
         return outputs, new_state
 

@@ -342,7 +342,12 @@ def create_models(config: Dict[str, Any],
             else:
                 model.trainable = not freeze
         if weights is not None:
-            model.params = load_params_npz(weights, model.params)
+            if isinstance(weights, dict):
+                model.params = load_params_npz(
+                    weights["path"], model.params,
+                    prefix=weights.get("prefix", ""))
+            else:
+                model.params = load_params_npz(weights, model.params)
         if copy_weights is not None:
             src = build(copy_weights)
             model.params = _copy_matching(model.params, src.params)

@@ -6,6 +6,7 @@ from joshupscale_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from joshupscale_tpu.parallel.pipeline import PipelinedEngine
 from joshupscale_tpu.parallel.serving import (
     ShardedEngine,
     SpatialEngine,
@@ -15,6 +16,7 @@ __all__ = [
     "create_mesh",
     "shard_batch",
     "replicate",
+    "PipelinedEngine",
     "ShardedEngine",
     "SpatialEngine",
 ]

@@ -184,3 +184,49 @@ def test_fade_in_blocks_progressive_growing():
     out_full = generator_resnet_apply(active, frame, warp)
     out_fullz = generator_resnet_apply(zeroed, frame, warp)
     assert np.abs(np.asarray(out_full) - np.asarray(out_fullz)).max() > 0
+
+
+def test_weights_prefix_loads_trainstate_subtree(tmp_path):
+    """`weights: {path, prefix}` pulls a dotted subtree out of a saved
+    TrainState checkpoint -- the GAN-stage bootstrap from an FRVSR
+    checkpoint (reference models.py copy_weights semantics)."""
+    from joshupscale_tpu.export.importer import save_params_npz
+
+    cfg = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "frvsr": {"name": "frvsr", "flow": {"model": "flow"},
+                  "generator": {"model": "generator"}},
+    }
+    src = create_models(cfg, seed=3)
+    ckpt = str(tmp_path / "state.npz")
+    # A TrainState-shaped flat file: params.flow.*, params.generator.*.
+    save_params_npz(ckpt, {"params": src["frvsr"].params})
+
+    cfg2 = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1,
+                 "weights": {"path": ckpt, "prefix": "params.flow"}},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1,
+                      "weights": {"path": ckpt,
+                                  "prefix": "params.generator"}},
+    }
+    dst = create_models(cfg2, seed=9)
+    for name in ("flow", "generator"):
+        want = src["frvsr"].params[name]
+        got = dst[name].params
+        flat_w = jax.tree_util.tree_leaves(want)
+        flat_g = jax.tree_util.tree_leaves(got)
+        assert len(flat_w) == len(flat_g)
+        for a, b in zip(flat_w, flat_g):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(KeyError):
+        create_models(
+            {"flow": {"name": "flow-resnet", "num_inputs": 4,
+                      "num_filters": 8, "num_res_blocks": 1,
+                      "weights": {"path": ckpt, "prefix": "nope"}}},
+            seed=0)

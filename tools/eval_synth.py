@@ -56,7 +56,16 @@ def main() -> int:
     ap.add_argument("--gan", action="store_true",
                     help="checkpoint is a GAN state (gen_params)")
     ap.add_argument("--package", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (leave the TPU to a training job)")
     args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        # sitecustomize pre-imports jax pinned to the TPU platform; the
+        # config update after import is the only working override.
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
