@@ -517,6 +517,32 @@ class TensorBoardLogger:
             self._writer.flush()
 
 
+@jax.jit
+def _normalize_u8_tree(batch):
+    return jax.tree_util.tree_map(
+        lambda x: (x.astype(jnp.float32) / 255.0 - 0.5)
+        if x.dtype == jnp.uint8 else x,
+        batch,
+    )
+
+
+def device_normalize(batch):
+    """uint8 batches -> [-0.5, 0.5] f32 via a SEPARATE tiny program.
+
+    Shipping u8 quarters the host->HBM transfer per step (the tfrecords
+    TPU input layout), but feeding u8 straight into the jitted train
+    step hangs the XLA:TPU worker (execution never returns, even at toy
+    sizes -- see CLAUDE.md round-3 gotcha).  Running the convert as its
+    own program first -- the mirror of the serving engine's deferred
+    display -- keeps u8 out of the train graph while keeping the
+    transfer win.  Float batches pass through untouched.
+    """
+    leaves = jax.tree_util.tree_leaves(batch)
+    if not any(getattr(x, "dtype", None) == np.uint8 for x in leaves):
+        return batch
+    return _normalize_u8_tree(batch)
+
+
 def fit(
     step_fn: Callable,
     state,
@@ -580,7 +606,8 @@ def fit(
                 elif profiling and global_step > profile_batch[1]:
                     jax.profiler.stop_trace()
                     profiling = False
-            state, metrics = step_fn(state, batch, step_rng)
+            state, metrics = step_fn(state, device_normalize(batch),
+                                     step_rng)
             global_step += spe
             acc.update(metrics)
         train_metrics = acc.result()
@@ -595,7 +622,8 @@ def fit(
             vacc = MeanAccumulator()
             for batch in val_data:
                 rng, val_rng = jax.random.split(rng)
-                vacc.update(val_fn(state, batch, val_rng))
+                vacc.update(val_fn(state, device_normalize(batch),
+                                   val_rng))
             entry.update(
                 {f"val_{k}": v for k, v in vacc.result().items()}
             )

@@ -455,3 +455,43 @@ def test_gan_u8_batch_matches_float(gan_setup, rng):
         state, m = step(state, batch, key)
         mets.append({k: float(v) for k, v in m.items()})
     _assert_metrics_close(*mets)
+
+
+def test_fit_normalizes_u8_outside_step(rng):
+    """fit() must convert u8 batches in a separate program and hand the
+    step f32 -- u8 entering the jitted train step hangs the XLA:TPU
+    worker (CLAUDE.md round-3 gotcha)."""
+    from joshupscale_tpu.training.trainer import fit
+
+    seen = []
+
+    def fake_step(state, batch, step_rng):
+        seen.append(jax.tree_util.tree_map(lambda x: x.dtype, batch))
+        return state, {"loss": np.float32(1.0)}
+
+    def batches():
+        while True:
+            yield {"input": np.zeros((1, 2, 4, 4, 3), np.uint8),
+                   "target": np.zeros((1, 2, 16, 16, 3), np.uint8)}
+
+    fit(fake_step, state={}, train_data=batches(), epochs=1,
+        steps_per_epoch=2, rng=jax.random.PRNGKey(0))
+    assert seen
+    for tree in seen:
+        for dt in jax.tree_util.tree_leaves(tree):
+            assert dt == jnp.float32, dt
+
+
+def test_device_normalize_values_and_passthrough(rng):
+    from joshupscale_tpu.training.trainer import device_normalize
+
+    u8 = {"input": jnp.asarray(
+        rng.integers(0, 256, (2, 3), dtype=np.uint8))}
+    out = device_normalize(u8)
+    # XLA lowers /255 to a reciprocal multiply: last-ulp vs numpy.
+    np.testing.assert_allclose(
+        np.asarray(out["input"]),
+        np.asarray(u8["input"]).astype(np.float32) / 255.0 - 0.5,
+        rtol=0, atol=1e-7)
+    f32 = {"input": jnp.zeros((2, 3), jnp.float32)}
+    assert device_normalize(f32) is f32
