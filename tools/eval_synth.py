@@ -58,6 +58,10 @@ def main() -> int:
     ap.add_argument("--package", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (leave the TPU to a training job)")
+    ap.add_argument("--zero-init", action="store_true",
+                    help="build with zero_init_tail (untrained model "
+                    "== bilinear/identity-warp baseline; eval-contract "
+                    "sanity check, expect margin ~0)")
     args = ap.parse_args()
 
     import jax
@@ -86,9 +90,11 @@ def main() -> int:
     else:
         config = {
             "flow": {"name": "flow-resnet", "num_inputs": 4,
-                     "num_filters": 64, "num_res_blocks": 10},
+                     "num_filters": 64, "num_res_blocks": 10,
+                     "zero_init_tail": args.zero_init},
             "generator": {"name": "generator-resnet", "num_filters": 64,
-                          "num_res_blocks": 24},
+                          "num_res_blocks": 24,
+                          "zero_init_tail": args.zero_init},
             "inference": {"name": "inference",
                           "generator": {"model": "generator"},
                           "flow": {"model": "flow"},
