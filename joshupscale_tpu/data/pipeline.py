@@ -405,6 +405,23 @@ class RandomBrightnessOp(MapOp):
 
 
 class RandomHorizontalFlipOp(RandomCondMapOp):
+    """Random horizontal flip of the LR/HR pair (reference
+    dataset.py:386-398 semantics).
+
+    SUBPIXEL-PHASE HAZARD: flipping both arrays is only
+    alignment-preserving when the LR was downsampled with a
+    flip-symmetric kernel (box/area).  For nearest-downsampled LR
+    (``lr = hr[::4, ::4]``, the ParseSingleExampleOp convention) the
+    LR sample sits at sub-position 0 of each 4x4 HR block; after a
+    flip it sits at sub-position 3 -- a 3-HR-pixel phase shift on
+    every flipped sample.  Training on the resulting phase mixture
+    costs more than the augmentation buys (measured on the round-3
+    learning proof: flipped pairs are 2.8x/5x off the aligned pair
+    MSE for h/h+v; the model converged to a phase compromise ~1.3 dB
+    WORSE than bilinear everywhere).  Use only with phase-symmetric
+    LR data.
+    """
+
     def true_fn(self, data):
         return {
             "input": data["input"][:, :, ::-1, :],
@@ -413,6 +430,10 @@ class RandomHorizontalFlipOp(RandomCondMapOp):
 
 
 class RandomVerticalFlipOp(RandomCondMapOp):
+    """Random vertical flip -- same subpixel-phase hazard as
+    RandomHorizontalFlipOp (RandomTransposeOp is phase-safe: both
+    axes keep sub-position 0)."""
+
     def true_fn(self, data):
         return {
             "input": data["input"][:, ::-1, :, :],

@@ -66,6 +66,35 @@ class Mutables:
         return y
 
 
+def merge_scan_bn_updates(mut: Mutables, prefix: str, scan_updates):
+    """Fold BN moving-stat updates collected INSIDE a ``lax.scan`` body
+    into ``mut.updates``.
+
+    Recurrent trainers run the generator once outside the scan (frame 0,
+    whose pre-warp input is RANDOM noise / zero state) and T-1 times
+    inside it (pre-warp = a real warped previous output).  Collecting
+    moving statistics only from the outside call calibrates
+    inference-mode batch norm to the noise-warp activation distribution,
+    not the steady state the serving recurrence actually visits --
+    measured as a uniform ~1.7 dB held-out penalty at training parity
+    on the synthetic learning proof (round 3).
+
+    ``scan_updates`` is a ``{path: {stat: (T, C)}}`` tree stacked by the
+    scan.  Each step computed ``running * m + batch * (1 - m)`` from the
+    SAME pre-step running stats, so the mean over the scan axis equals
+    one momentum update with the scan-average batch statistic -- the
+    steady-state estimate.  Entries overwrite the outside call's (frame
+    0 is one frame of hundreds at serving).  Fade-in counters ("counter"
+    leaves) keep the outside call's single per-step increment.
+    """
+    for path, upd in scan_updates.items():
+        if "counter" in upd:
+            continue
+        mut.updates[prefix + path] = jax.tree.map(
+            lambda x: jnp.mean(x, axis=0), upd
+        )
+
+
 def res_block_init(key, num_filters: int, fade_in_period=None,
                    dtype=jnp.float32):
     k1, k2 = jax.random.split(key)

@@ -121,11 +121,10 @@ class FRVSRTrainer:
         targets: (B, T, 4H, 4W, 3).  Returns gen_outputs (B, T, ...),
         target_warp (B, T-1, ...), and "bn_updates" -- batch-norm
         moving-stat updates collected from the batched flow call and the
-        first generator call.  (Generator calls inside the scan normalize
-        with batch stats too, but their moving-stat updates stay local to
-        the scan body: one moving-average update per step is an unbiased
-        estimate, and scan carries can't export per-iteration side
-        state without widening the carry.)
+        generator scan steps (exported through the scan ys and averaged
+        over the scan axis; see merge_scan_bn_updates for why the first
+        call's noise-warp statistics alone miscalibrate inference-mode
+        BN).
         """
         from joshupscale_tpu.models.common import Mutables
 
@@ -180,11 +179,15 @@ class FRVSRTrainer:
             if bd is not None:
                 last_output = last_output + bd
             warped = dense_image_warp(last_output, cur_flow)
-            # Batch-stat BN inside the scan; updates stay scan-local.
+            # Batch-stat BN inside the scan; moving-stat updates are
+            # exported through ys and averaged post-scan (see
+            # merge_scan_bn_updates -- the first call's noise-warp
+            # statistics must not be the only calibration source).
+            step_mut = Mutables(training)
             out = self.generator_apply(
-                params["generator"], frame, warped, mut=Mutables(training)
+                params["generator"], frame, warped, mut=step_mut
             )
-            return out, (out, warped)
+            return out, (out, warped, step_mut.updates)
 
         if self.remat:
             step = jax.checkpoint(step)
@@ -196,7 +199,11 @@ class FRVSRTrainer:
             if bright_diff is not None
             else None,
         )
-        _, (outs, warps) = jax.lax.scan(step, first_out, xs)
+        _, (outs, warps, scan_updates) = jax.lax.scan(step, first_out, xs)
+        if training:
+            from joshupscale_tpu.models.common import merge_scan_bn_updates
+
+            merge_scan_bn_updates(mut, "generator.", scan_updates)
         gen_outputs = jnp.concatenate(
             [first_out[:, None], jnp.swapaxes(outs, 0, 1)], axis=1
         )

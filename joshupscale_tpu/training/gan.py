@@ -198,11 +198,13 @@ class GANTrainer:
             if bd is not None:
                 last_output = last_output + bd
             warped = dense_image_warp(last_output, cur_flow)
+            # Moving-stat updates exported through ys; averaged
+            # post-scan (merge_scan_bn_updates).
+            step_mut = Mutables(training)
             out = self.generator_apply(
-                gen_params["generator"], frame, warped,
-                mut=Mutables(training),
+                gen_params["generator"], frame, warped, mut=step_mut
             )
-            return out, (out, warped)
+            return out, (out, warped, step_mut.updates)
 
         if self.remat:
             step = jax.checkpoint(step)
@@ -213,7 +215,13 @@ class GANTrainer:
             if bright_diff is not None
             else None,
         )
-        _, (outs, warps) = jax.lax.scan(step, first_out, xs)
+        _, (outs, warps, scan_updates) = jax.lax.scan(step, first_out, xs)
+        if training:
+            from joshupscale_tpu.models.common import (
+                merge_scan_bn_updates,
+            )
+
+            merge_scan_bn_updates(mut, "gen.generator.", scan_updates)
         gen_outputs = jnp.concatenate(
             [first_out[:, None], jnp.swapaxes(outs, 0, 1)], axis=1
         )

@@ -495,3 +495,94 @@ def test_device_normalize_values_and_passthrough(rng):
         rtol=0, atol=1e-7)
     f32 = {"input": jnp.zeros((2, 3), jnp.float32)}
     assert device_normalize(f32) is f32
+
+
+def test_frvsr_bn_updates_use_scan_steady_state(rng):
+    """Generator BN moving stats must calibrate to the scan steps'
+    activation distribution, not (only) the first call's.
+
+    The first generator call's pre_warp input is RANDOM NOISE; scan
+    steps see real warped outputs.  Collecting moving stats only from
+    the first call miscalibrates inference-mode BN (measured ~ -1.7 dB
+    held-out at training parity on the round-3 learning proof).  The
+    oracle is a hand-rolled Python loop of the same recurrence: the
+    trainer's "generator.*" updates must equal the loop's per-step
+    updates averaged over the scan axis, and must differ from the
+    first-call-only values.
+    """
+    from joshupscale_tpu.models.common import Mutables
+    from joshupscale_tpu.ops import dense_image_warp
+    from joshupscale_tpu.training.frvsr import (
+        _merge_bt,
+        _split_bt,
+        flow_history_frames,
+    )
+
+    models = create_models(_config(), seed=0)
+    trainer = models["frvsr"].obj
+    params = models["frvsr"].params
+    batch = _batch(rng, b=2, t=5)
+    key = jax.random.PRNGKey(7)
+
+    y = trainer.forward(
+        params, batch["input"], batch["target"], key, training=True)
+    got = {k: v for k, v in y["bn_updates"].items()
+           if k.startswith("generator.")}
+    assert got, "no generator BN updates collected"
+
+    # Manual loop with the same RNG splits.
+    inputs = batch["input"]
+    b, t, h, w, _ = inputs.shape
+    rng_hist, rng_first = jax.random.split(key)
+    cur = _merge_bt(inputs[:, 1:])
+    prev = _merge_bt(inputs[:, :-1])
+    history = flow_history_frames(
+        inputs, trainer.num_flow_frames - 2, rng_hist)
+    flow = trainer.flow_apply(
+        params["flow"], [cur, prev] + history, mut=Mutables(True))
+    flow_t = _split_bt(flow, t - 1)
+    first_warp = jax.random.uniform(
+        rng_first, (b, h * 4, w * 4, 3), inputs.dtype, -0.5, 0.5)
+    first_mut = Mutables(True)
+    out = trainer.generator_apply(
+        params["generator"], inputs[:, 0], first_warp, mut=first_mut)
+    per_step = []
+    for i in range(t - 1):
+        warped = dense_image_warp(out, flow_t[:, i])
+        sm = Mutables(True)
+        out = trainer.generator_apply(
+            params["generator"], inputs[:, i + 1], warped, mut=sm)
+        per_step.append(sm.updates)
+
+    for path in per_step[0]:
+        want = {
+            stat: np.mean(
+                [np.asarray(u[path][stat]) for u in per_step], axis=0)
+            for stat in per_step[0][path]
+        }
+        key_full = "generator." + path
+        assert key_full in got, key_full
+        for stat, expect in want.items():
+            np.testing.assert_allclose(
+                np.asarray(got[key_full][stat]), expect,
+                rtol=1e-4, atol=1e-5,
+                err_msg=f"{key_full}.{stat} != scan-step mean")
+        # And it must NOT be the first-call-only value (noise-warp
+        # statistics).  One momentum update at m=0.99 compresses the
+        # difference 100x, so compare the IMPLIED batch statistic
+        # (upd = old * m + batch * (1 - m)).
+        from joshupscale_tpu.nn.layers import BN_MOMENTUM
+
+        def implied_batch(upd_var, node=params["generator"]):
+            sub = node
+            for part in path.split("."):
+                sub = sub[part]
+            old = np.asarray(sub["moving_variance"])
+            return (np.asarray(upd_var) - old * BN_MOMENTUM) / (
+                1.0 - BN_MOMENTUM)
+
+        got_batch = implied_batch(got[key_full]["moving_variance"])
+        first_batch = implied_batch(
+            first_mut.updates[path]["moving_variance"])
+        assert not np.allclose(got_batch, first_batch, rtol=1e-3), (
+            f"{key_full} still first-call-calibrated")

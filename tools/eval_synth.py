@@ -58,6 +58,10 @@ def main() -> int:
     ap.add_argument("--package", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (leave the TPU to a training job)")
+    ap.add_argument("--f32", action="store_true",
+                    help="evaluate with float32 compute (isolates "
+                    "learning quality from bf16 serving noise in the "
+                    "recurrent feedback)")
     ap.add_argument("--zero-init", action="store_true",
                     help="build with zero_init_tail (untrained model "
                     "== bilinear/identity-warp baseline; eval-contract "
@@ -100,7 +104,8 @@ def main() -> int:
                           "flow": {"model": "flow"},
                           "skip_processing": False,
                           "frame_height": h, "frame_width": w,
-                          "compute_dtype": "bfloat16"},
+                          "compute_dtype":
+                              "float32" if args.f32 else "bfloat16"},
         }
         models = create_models(config, seed=0)
         built = models["inference"]
