@@ -620,10 +620,14 @@ def fit(
                  **{f"train_{k}": v for k, v in train_metrics.items()}}
         if val_fn is not None and val_data is not None:
             vacc = MeanAccumulator()
-            for batch in val_data:
-                rng, val_rng = jax.random.split(rng)
+            # Deterministic per-batch val rng: the FRVSR/GAN forward
+            # draws a random first-frame pre_warp; a fresh key per
+            # epoch would make val_loss (the checkpoint/early-stop
+            # monitor) jitter by the draw instead of by the model.
+            for val_i, batch in enumerate(val_data):
                 vacc.update(val_fn(state, device_normalize(batch),
-                                   val_rng))
+                                   jax.random.fold_in(
+                                       jax.random.PRNGKey(0), val_i)))
             entry.update(
                 {f"val_{k}": v for k, v in vacc.result().items()}
             )
