@@ -66,6 +66,10 @@ def main() -> int:
                     help="build with zero_init_tail (untrained model "
                     "== bilinear/identity-warp baseline; eval-contract "
                     "sanity check, expect margin ~0)")
+    ap.add_argument("--save-png", metavar="PATH",
+                    help="write a side-by-side strip (bilinear x4 | "
+                    "model | ground truth, last frame of the first 3 "
+                    "val sequences) to PATH")
     args = ap.parse_args()
 
     import jax
@@ -141,6 +145,18 @@ def main() -> int:
     print(f"model    PSNR: {p_model:.2f} dB")
     print(f"bilinear PSNR: {p_bilinear:.2f} dB")
     print(f"margin: {p_model - p_bilinear:+.2f} dB")
+
+    if args.save_png:
+        import cv2
+
+        rows = []
+        for i in range(min(3, n_seq)):
+            rows.append(np.concatenate(
+                [up_u8[i, -1], outs[i, -1], hr[i, -1]], axis=1))
+        strip = np.concatenate(rows, axis=0)
+        cv2.imwrite(args.save_png, strip)
+        print(f"wrote {args.save_png} "
+              f"({strip.shape[1]}x{strip.shape[0]})")
     return 0
 
 
