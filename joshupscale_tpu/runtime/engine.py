@@ -24,10 +24,11 @@ The engine also provides:
 from __future__ import annotations
 
 import collections
+import dataclasses
 import functools
 import time
 import weakref
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -233,6 +234,15 @@ class Engine:
         squeeze = frames.ndim == 4
         if squeeze:
             frames = frames[:, None]
+        if frames.shape[1:] != self.input_shape:
+            raise ValueError(
+                f"Invalid clip shape {frames.shape}; expected "
+                f"(T,) + {self.input_shape}.  A packaged model is "
+                f"built for fixed frame dims; load it with "
+                f"create_runtime(..., frame_size=(H, W)) to serve a "
+                f"different size (the networks are fully "
+                f"convolutional)."
+            )
         if chunk_frames is not None and frames.shape[0] > chunk_frames:
             parts = [
                 self.process_clip(frames[i:i + chunk_frames])
@@ -410,15 +420,24 @@ def create_runtime(
     model_path: str,
     device: Optional[int] = None,
     batch_size: int = 1,
+    frame_size: Optional[Tuple[int, int]] = None,
 ) -> Engine:
     """Load a serialized model package and build an engine.
 
     The runtime ABI analog of reference ``core/public/JoshUpscale/core.h``
     createRuntime(deviceId, modelPath): model packages are directories (or
     .npz files) produced by ``joshupscale_tpu.export.package``.
+
+    ``frame_size=(height, width)`` overrides the packaged LR frame dims
+    (the networks are fully convolutional; the packaged dims only size
+    the recurrent state).  A training-time package (e.g. built at crop
+    size) can thus serve any resolution.
     """
     from joshupscale_tpu.export.package import load_package
 
     model, params = load_package(model_path)
+    if frame_size is not None:
+        model = dataclasses.replace(
+            model, frame_height=frame_size[0], frame_width=frame_size[1])
     dev = jax.devices()[device] if device is not None else None
     return Engine(model, params, batch_size=batch_size, device=dev)

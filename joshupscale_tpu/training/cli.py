@@ -235,6 +235,7 @@ def _export(export_cfg, config, models, built, state) -> None:
     """Write trained weights + a deployable inference package."""
     from joshupscale_tpu.export.importer import save_params_npz
     from joshupscale_tpu.export.package import save_package
+    from joshupscale_tpu.models import create_models
 
     out_dir = export_cfg.get("dir", "export")
     os.makedirs(out_dir, exist_ok=True)
@@ -277,6 +278,19 @@ def _export(export_cfg, config, models, built, state) -> None:
             name: entry for name, entry in config["models"].items()
             if name in keep
         }
+        # The package is a SERVING artifact: the runtime ABI (Engine /
+        # native createRuntime) feeds uint8 frames, so the training-time
+        # ``skip_processing: true`` (float I/O for the trainer's loss
+        # plumbing) must not leak into it.  ``export: {overrides: {...}}``
+        # merges further serving-config keys into the packaged inference
+        # entry (e.g. compute_dtype: bfloat16, frame_height/width).
+        inf_entry = dict(model_cfg[inf_key])
+        inf_entry["skip_processing"] = False
+        inf_entry.update(export_cfg.get("overrides") or {})
+        model_cfg[inf_key] = inf_entry
+        rebuilt = create_models(model_cfg, seed=0)[inf_key]
+        rebuilt.params = inference.params
+        inference = rebuilt
         save_package(
             os.path.join(out_dir, "package"), model_cfg, inference,
             inference_name=inf_key,

@@ -93,7 +93,8 @@ def main() -> int:
     if args.package:
         from joshupscale_tpu.runtime.engine import create_runtime
 
-        eng = create_runtime(args.weights, batch_size=n_seq)
+        eng = create_runtime(args.weights, batch_size=n_seq,
+                             frame_size=(h, w))
         model = eng.model
     else:
         config = {
