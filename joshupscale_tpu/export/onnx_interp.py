@@ -1,0 +1,206 @@
+"""Minimal executor for the exported ONNX deployment graph.
+
+The reference runs its exported ``.onnx`` engines with onnxruntime
+(``scripts/inference/onnx/inference.py:63-94``: feed ``cur_frame``,
+carry ``pre_gen``/``last_frame_i`` state outputs back into the next
+call).  Neither ``onnx`` nor ``onnxruntime`` is available in this
+image, so this module interprets the graph emitted by
+:mod:`joshupscale_tpu.export.onnx_export` directly: NCHW float body
+with the reference op vocabulary (Conv / ConvTranspose / GridSample /
+Resize / DepthToSpace / SpaceToDepth / elementwise), batch 1.
+
+It is a *verification runtime*, not a serving path (serving is the
+XLA engine): it executes op by op in numpy (convolutions via
+``jax.lax`` on CPU) so the exported artifact's semantics can be
+checked end to end — the analog of running the reference's runner on
+the exported engine before shipping it to TensorRT.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def _conv(x, w, b, strides, pads):
+    import jax
+    import jax.numpy as jnp
+
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), tuple(strides),
+        [(pads[0], pads[2]), (pads[1], pads[3])],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if b is not None:
+        out = out + jnp.asarray(b)[None, :, None, None]
+    return np.asarray(out)
+
+
+def _conv_transpose_2x(x, w, b):
+    # w: (I, O, 2, 2); output[2i+di, 2j+dj, o] = sum_c x[c,i,j] w[c,o,di,dj]
+    n, c, h, wd = x.shape
+    o = w.shape[1]
+    t = np.einsum("nchw,codk->ndkohw", x, w)  # d=di, k=dj
+    out = t.reshape(n, 4 * o, h, wd)  # channel order (di, dj, o) = DCR
+    out = _d2s(out, 2)
+    if b is not None:
+        out = out + b[None, :, None, None]
+    return out
+
+
+def _d2s(x, bs):
+    n, c, h, w = x.shape
+    co = c // (bs * bs)
+    return (x.reshape(n, bs, bs, co, h, w)
+            .transpose(0, 3, 4, 1, 5, 2)
+            .reshape(n, co, h * bs, w * bs))
+
+
+def _s2d(x, bs):
+    n, c, h, w = x.shape
+    return (x.reshape(n, c, h // bs, bs, w // bs, bs)
+            .transpose(0, 3, 5, 1, 2, 4)
+            .reshape(n, c * bs * bs, h // bs, w // bs))
+
+
+def _grid_sample(img, grid):
+    # bilinear, padding border, align_corners=0: NCHW img, grid (N,H,W,2)
+    # with (x, y) in [-1, 1].  Batch 1 (the runner's streaming contract).
+    n, c, ih, iw = img.shape
+    assert n == 1, "interpreter GridSample is batch-1"
+    gx = (grid[..., 0] + 1.0) * iw / 2.0 - 0.5
+    gy = (grid[..., 1] + 1.0) * ih / 2.0 - 0.5
+    x0 = np.floor(gx)
+    y0 = np.floor(gy)
+    wx = gx - x0
+    wy = gy - y0
+
+    def pick(yi, xi):
+        yi = np.clip(yi, 0, ih - 1).astype(np.int64)
+        xi = np.clip(xi, 0, iw - 1).astype(np.int64)
+        return img[0, :, yi[0], xi[0]]  # (H, W, C)
+
+    p00 = pick(y0, x0)
+    p01 = pick(y0, x0 + 1)
+    p10 = pick(y0 + 1, x0)
+    p11 = pick(y0 + 1, x0 + 1)
+    wx = wx[0, ..., None]
+    wy = wy[0, ..., None]
+    out = (p00 * (1 - wx) * (1 - wy) + p01 * wx * (1 - wy)
+           + p10 * (1 - wx) * wy + p11 * wx * wy)
+    return out.transpose(2, 0, 1)[None].astype(np.float32)
+
+
+def _resize4(x):
+    # linear, asymmetric (TF1 align_corners=F half_pixel=F): src = dst/4
+    n, c, h, w = x.shape
+    oh, ow = h * 4, w * 4
+    sy = np.arange(oh, dtype=np.float32) / 4.0
+    sx = np.arange(ow, dtype=np.float32) / 4.0
+    y0 = np.floor(sy).astype(np.int64)
+    x0 = np.floor(sx).astype(np.int64)
+    wy = (sy - y0)[None, None, :, None]
+    wx = (sx - x0)[None, None, None, :]
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    a = x[:, :, y0][:, :, :, x0]
+    b = x[:, :, y0][:, :, :, x1]
+    cc = x[:, :, y1][:, :, :, x0]
+    d = x[:, :, y1][:, :, :, x1]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + cc * wy * (1 - wx) + d * wy * wx).astype(np.float32)
+
+
+def run_graph(model: Dict[str, Any],
+              feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Execute a decoded model (see ``onnx_minimal.decode_model``) on a
+    dict of input arrays; returns the graph outputs by name."""
+    env = dict(model["initializers"])
+    env.update(feeds)
+    for node in model["nodes"]:
+        op = node["op_type"]
+        i = [env[x] if x else None for x in node["inputs"]]
+        a = node["attrs"]
+        if op == "Transpose":
+            r = np.transpose(i[0], a["perm"])
+        elif op == "Mul":
+            r = i[0] * i[1]
+        elif op == "Add":
+            r = i[0] + i[1]
+        elif op == "Sub":
+            r = i[0] - i[1]
+        elif op == "Div":
+            r = i[0] / i[1]
+        elif op == "Concat":
+            r = np.concatenate(i, axis=a["axis"])
+        elif op == "Relu":
+            r = np.maximum(i[0], 0)
+        elif op == "Tanh":
+            r = np.tanh(i[0]).astype(np.float32)
+        elif op == "Conv":
+            r = _conv(i[0], i[1], i[2] if len(i) > 2 else None,
+                      a["strides"], a["pads"])
+        elif op == "ConvTranspose":
+            r = _conv_transpose_2x(i[0], i[1],
+                                   i[2] if len(i) > 2 else None)
+        elif op == "DepthToSpace":
+            assert a["mode"] == "DCR"
+            r = _d2s(i[0], a["blocksize"])
+        elif op == "SpaceToDepth":
+            r = _s2d(i[0], a["blocksize"])
+        elif op == "Slice":
+            starts, ends, axes, steps = (int(i[1][0]), int(i[2][0]),
+                                         int(i[3][0]), int(i[4][0]))
+            sl = [slice(None)] * i[0].ndim
+            sl[axes] = slice(starts, None if ends == -i[0].shape[axes]
+                             - 1 else ends, steps)
+            r = i[0][tuple(sl)]
+        elif op == "GridSample":
+            r = _grid_sample(i[0], i[1])
+        elif op == "Resize":
+            r = _resize4(i[0])
+        elif op == "Clip":
+            r = np.clip(i[0], i[1], i[2])
+        elif op == "Identity":
+            r = i[0]
+        else:
+            raise NotImplementedError(op)
+        env[node["outputs"][0]] = np.asarray(r, np.float32)
+    return {o["name"]: env[o["name"]] for o in model["outputs"]}
+
+
+class OnnxClipRunner:
+    """The reference ONNX runner loop (onnx/inference.py:63-94) over an
+    exported graph: u8 BGR frames in, u8 BGR 4x frames out, with the
+    recurrent state (``pre_gen`` + ``last_frame_i``) fed back between
+    frames and zero-initialized at construction/reset."""
+
+    def __init__(self, path_or_model, height: int, width: int,
+                 num_flow_frames: int = 4) -> None:
+        if isinstance(path_or_model, (str, bytes)):
+            from joshupscale_tpu.export import onnx_minimal as om
+
+            with open(path_or_model, "rb") as f:
+                path_or_model = om.decode_model(f.read())
+        self.model = path_or_model
+        self.h, self.w = height, width
+        self.num_last = num_flow_frames - 1
+        self.reset()
+
+    def reset(self) -> None:
+        self.feeds: Dict[str, np.ndarray] = {
+            "pre_gen": np.zeros((1, 3, 4 * self.h, 4 * self.w),
+                                np.float32),
+            **{f"last_frame_{i}": np.zeros((1, 3, self.h, self.w),
+                                           np.float32)
+               for i in range(self.num_last)},
+        }
+
+    def process(self, frame: np.ndarray) -> np.ndarray:
+        """One recurrent step: (H, W, 3) u8 -> (4H, 4W, 3) u8."""
+        self.feeds["cur_frame"] = frame[None].astype(np.float32)
+        outs = run_graph(self.model, self.feeds)
+        self.feeds["pre_gen"] = outs["output_raw"]
+        for i in range(self.num_last):
+            self.feeds[f"last_frame_{i}"] = outs[f"out_frame_{i}"]
+        return np.clip(outs["output"], 0, 255).astype(np.uint8)[0]

@@ -113,147 +113,9 @@ def test_initializer_weight_roundtrip(built_model, exported):
 
 
 # ---------------------------------------------------------------------
-# Minimal interpreter for the exported op vocabulary (numpy/lax; test
-# oracle only -- onnxruntime does this in the reference's environment).
-
-
-def _conv(x, w, b, strides, pads):
-    out = jax.lax.conv_general_dilated(
-        jnp.asarray(x), jnp.asarray(w), tuple(strides),
-        [(pads[0], pads[2]), (pads[1], pads[3])],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    if b is not None:
-        out = out + jnp.asarray(b)[None, :, None, None]
-    return np.asarray(out)
-
-
-def _conv_transpose_2x(x, w, b):
-    # w: (I, O, 2, 2); output[2i+di, 2j+dj, o] = sum_c x[c,i,j] w[c,o,di,dj]
-    n, c, h, wd = x.shape
-    o = w.shape[1]
-    t = np.einsum("nchw,codk->ndkohw", x, w)  # d=di, k=dj
-    out = t.reshape(n, 4 * o, h, wd)  # channel order (di, dj, o) = DCR
-    out = _d2s(out, 2)
-    if b is not None:
-        out = out + b[None, :, None, None]
-    return out
-
-
-def _d2s(x, bs):
-    n, c, h, w = x.shape
-    co = c // (bs * bs)
-    return (x.reshape(n, bs, bs, co, h, w)
-            .transpose(0, 3, 4, 1, 5, 2)
-            .reshape(n, co, h * bs, w * bs))
-
-
-def _s2d(x, bs):
-    n, c, h, w = x.shape
-    return (x.reshape(n, c, h // bs, bs, w // bs, bs)
-            .transpose(0, 3, 5, 1, 2, 4)
-            .reshape(n, c * bs * bs, h // bs, w // bs))
-
-
-def _grid_sample(img, grid):
-    # bilinear, padding border, align_corners=0: NCHW img, grid (N,H,W,2)
-    # with (x, y) in [-1, 1].
-    n, c, ih, iw = img.shape
-    gx = (grid[..., 0] + 1.0) * iw / 2.0 - 0.5
-    gy = (grid[..., 1] + 1.0) * ih / 2.0 - 0.5
-    x0 = np.floor(gx)
-    y0 = np.floor(gy)
-    wx = gx - x0
-    wy = gy - y0
-
-    def pick(yi, xi):
-        yi = np.clip(yi, 0, ih - 1).astype(np.int64)
-        xi = np.clip(xi, 0, iw - 1).astype(np.int64)
-        return img[0, :, yi[0], xi[0]]  # (H, W, C)
-
-    p00 = pick(y0, x0)
-    p01 = pick(y0, x0 + 1)
-    p10 = pick(y0 + 1, x0)
-    p11 = pick(y0 + 1, x0 + 1)
-    wx = wx[0, ..., None]
-    wy = wy[0, ..., None]
-    out = (p00 * (1 - wx) * (1 - wy) + p01 * wx * (1 - wy)
-           + p10 * (1 - wx) * wy + p11 * wx * wy)
-    return out.transpose(2, 0, 1)[None].astype(np.float32)
-
-
-def _resize4(x):
-    # linear, asymmetric (TF1 align_corners=F half_pixel=F): src = dst/4
-    n, c, h, w = x.shape
-    oh, ow = h * 4, w * 4
-    sy = np.arange(oh, dtype=np.float32) / 4.0
-    sx = np.arange(ow, dtype=np.float32) / 4.0
-    y0 = np.floor(sy).astype(np.int64)
-    x0 = np.floor(sx).astype(np.int64)
-    wy = (sy - y0)[None, None, :, None]
-    wx = (sx - x0)[None, None, None, :]
-    y1 = np.minimum(y0 + 1, h - 1)
-    x1 = np.minimum(x0 + 1, w - 1)
-    a = x[:, :, y0][:, :, :, x0]
-    b = x[:, :, y0][:, :, :, x1]
-    cc = x[:, :, y1][:, :, :, x0]
-    d = x[:, :, y1][:, :, :, x1]
-    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
-            + cc * wy * (1 - wx) + d * wy * wx).astype(np.float32)
-
-
-def run_graph(model, feeds):
-    env = dict(model["initializers"])
-    env.update(feeds)
-    for node in model["nodes"]:
-        op = node["op_type"]
-        i = [env[x] if x else None for x in node["inputs"]]
-        a = node["attrs"]
-        if op == "Transpose":
-            r = np.transpose(i[0], a["perm"])
-        elif op == "Mul":
-            r = i[0] * i[1]
-        elif op == "Add":
-            r = i[0] + i[1]
-        elif op == "Sub":
-            r = i[0] - i[1]
-        elif op == "Div":
-            r = i[0] / i[1]
-        elif op == "Concat":
-            r = np.concatenate(i, axis=a["axis"])
-        elif op == "Relu":
-            r = np.maximum(i[0], 0)
-        elif op == "Tanh":
-            r = np.tanh(i[0]).astype(np.float32)
-        elif op == "Conv":
-            r = _conv(i[0], i[1], i[2] if len(i) > 2 else None,
-                      a["strides"], a["pads"])
-        elif op == "ConvTranspose":
-            r = _conv_transpose_2x(i[0], i[1],
-                                   i[2] if len(i) > 2 else None)
-        elif op == "DepthToSpace":
-            assert a["mode"] == "DCR"
-            r = _d2s(i[0], a["blocksize"])
-        elif op == "SpaceToDepth":
-            r = _s2d(i[0], a["blocksize"])
-        elif op == "Slice":
-            starts, ends, axes, steps = (int(i[1][0]), int(i[2][0]),
-                                         int(i[3][0]), int(i[4][0]))
-            sl = [slice(None)] * i[0].ndim
-            sl[axes] = slice(starts, None if ends == -i[0].shape[axes]
-                             - 1 else ends, steps)
-            r = i[0][tuple(sl)]
-        elif op == "GridSample":
-            r = _grid_sample(i[0], i[1])
-        elif op == "Resize":
-            r = _resize4(i[0])
-        elif op == "Clip":
-            r = np.clip(i[0], i[1], i[2])
-        elif op == "Identity":
-            r = i[0]
-        else:
-            raise NotImplementedError(op)
-        env[node["outputs"][0]] = np.asarray(r, np.float32)
-    return {o["name"]: env[o["name"]] for o in model["outputs"]}
+# The interpreter is a shipped component (export/onnx_interp.py --
+# the reference ONNX-runner analog); the tests drive it as oracle.
+from joshupscale_tpu.export.onnx_interp import run_graph  # noqa: E402
 
 
 def test_exported_graph_matches_model_recurrence(built_model, exported):
