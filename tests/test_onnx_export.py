@@ -153,6 +153,27 @@ def test_exported_graph_matches_model_recurrence(built_model, exported):
             feeds[f"last_frame_{i}"] = onnx_outs[f"out_frame_{i}"]
 
 
+def test_onnx_clip_runner_matches_engine(built_model, exported):
+    """The shipped runner loop (OnnxClipRunner, the reference
+    onnx/inference.py:63-94 analog incl. reset) against the XLA engine
+    over two streams separated by a reset."""
+    from joshupscale_tpu.export.onnx_interp import OnnxClipRunner
+    from joshupscale_tpu.runtime.engine import Engine
+
+    runner = OnnxClipRunner(exported, H, W)
+    eng = Engine(built_model.obj, built_model.params)
+    rng = np.random.default_rng(9)
+    for stream in range(2):
+        runner.reset()
+        eng.reset()
+        for t in range(3):
+            frame = rng.integers(0, 256, (H, W, 3), np.uint8)
+            ours = eng.process(frame)
+            theirs = runner.process(frame)
+            d = np.abs(ours.astype(int) - theirs.astype(int)).max()
+            assert d <= 1, f"stream {stream} frame {t}: {d}"
+
+
 def test_file_is_wellformed_protobuf(built_model, tmp_path):
     path = str(tmp_path / "m.onnx")
     export_onnx(path, built_model.params, H, W)
