@@ -10,8 +10,10 @@ augmentations are trivially debuggable, and nothing here traces or
 compiles.  Throughput comes from a background prefetch thread
 (``PrefetchOp``) feeding the accelerator step; the heavy lifting
 (decode/crop) is tiny compared to a VSR train step.  TFRecord reading
-and PNG decode use tensorflow when present (the reference's tfrecords
-remain readable); the rest is dependency-free.
+and Example parsing use tensorflow when present as the fast path and
+fall back to the self-contained codec in ``data/tfrecord.py`` (the
+reference's tfrecords stay readable either way); image decode falls
+back to cv2/PIL.
 
 Every op matches the reference's name and config keys, so reference
 dataset YAMLs work unchanged.
@@ -63,11 +65,18 @@ class ListShuffleOp(DatasetOp):
 
 
 class TFRecordDatasetOp(DatasetOp):
-    """TFRecord source (requires tensorflow for the record reader)."""
+    """TFRecord source (reference dataset.py:50-68).
 
-    def __init__(self, name: str, path=None, **kw):
+    tensorflow, when installed, is the fast record reader; otherwise
+    (or with ``pure_python: true``) the self-contained framing codec in
+    :mod:`joshupscale_tpu.data.tfrecord` reads the files directly.
+    """
+
+    def __init__(self, name: str, path=None, pure_python: bool = False,
+                 **kw):
         super().__init__(name)
         self.path = path
+        self.pure_python = bool(pure_python)
         self.kwargs = kw
 
     def __call__(self, data):
@@ -76,18 +85,36 @@ class TFRecordDatasetOp(DatasetOp):
             raise ValueError("Dataset path is not defined")
 
         def gen():
-            import tensorflow as tf
+            tf = None if self.pure_python else _try_tensorflow()
+            if tf is not None:
+                ds = tf.data.TFRecordDataset(
+                    path,
+                    **{k: v for k, v in self.kwargs.items()
+                       if k in ("compression_type", "buffer_size",
+                                "num_parallel_reads")},
+                )
+                for rec in ds:
+                    yield bytes(rec.numpy())
+                return
+            if self.kwargs.get("compression_type"):
+                raise ValueError(
+                    "compressed TFRecords need tensorflow installed")
+            from .tfrecord import read_records
 
-            ds = tf.data.TFRecordDataset(
-                path,
-                **{k: v for k, v in self.kwargs.items()
-                   if k in ("compression_type", "buffer_size",
-                            "num_parallel_reads")},
-            )
-            for rec in ds:
-                yield bytes(rec.numpy())
+            paths = path if isinstance(path, (list, tuple)) else [path]
+            for p in paths:
+                yield from read_records(p)
 
         return _Restartable(gen)
+
+
+def _try_tensorflow():
+    try:
+        import tensorflow as tf
+
+        return tf
+    except ImportError:
+        return None
 
 
 class LocalDatasetOp(DatasetOp):
@@ -260,39 +287,72 @@ class RandomCondMapOp(MapOp):
         return data
 
 
+def _decode_image_rgb(data: bytes) -> np.ndarray:
+    """Decode an encoded image to RGB uint8 (tf.io.decode_image order)."""
+    try:
+        import cv2
+
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("Cannot decode image bytes")
+        return img[:, :, ::-1]
+    except ImportError:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def _parse_image_example(data: bytes, spec: Dict[str, int],
+                         pure_python: bool) -> Dict[str, np.ndarray]:
+    """parse_single_example(+decode_image) with a tensorflow-free path.
+
+    ``spec``: feature name -> FixedLenFeature list length (reference
+    dataset.py:194-216).  Returns stacked (N,H,W,3) uint8 RGB arrays.
+    """
+    tf = None if pure_python else _try_tensorflow()
+    if tf is not None:
+        parsed = tf.io.parse_single_example(data, {
+            k: tf.io.FixedLenFeature([n], tf.string)
+            for k, n in spec.items()
+        })
+        return {
+            k: np.stack([tf.io.decode_image(x).numpy() for x in parsed[k]])
+            for k in spec
+        }
+    from .tfrecord import parse_fixed_len
+
+    parsed = parse_fixed_len(data, spec)
+    return {
+        k: np.stack([_decode_image_rgb(x) for x in parsed[k]])
+        for k in spec
+    }
+
+
 class ParsePairExampleOp(MapOp):
     """tf.train.Example with 10 encoded input/target PNGs each."""
 
-    def map_fn(self, data):
-        import tensorflow as tf
+    def __init__(self, name: str, pure_python: bool = False, **kw):
+        super().__init__(name, **kw)
+        self.pure_python = bool(pure_python)
 
-        parsed = tf.io.parse_single_example(data, {
-            "input": tf.io.FixedLenFeature([10], tf.string),
-            "target": tf.io.FixedLenFeature([10], tf.string),
-        })
-        return {
-            "input": np.stack([
-                tf.io.decode_image(x).numpy() for x in parsed["input"]
-            ]),
-            "target": np.stack([
-                tf.io.decode_image(x).numpy() for x in parsed["target"]
-            ]),
-        }
+    def map_fn(self, data):
+        return _parse_image_example(
+            data, {"input": 10, "target": 10}, self.pure_python)
 
 
 class ParseSingleExampleOp(MapOp):
     """HR-only examples; LR derived by nearest x1/4 downscale
     (TF1 grid: plain ::4 subsampling)."""
 
-    def map_fn(self, data):
-        import tensorflow as tf
+    def __init__(self, name: str, pure_python: bool = False, **kw):
+        super().__init__(name, **kw)
+        self.pure_python = bool(pure_python)
 
-        parsed = tf.io.parse_single_example(data, {
-            "images": tf.io.FixedLenFeature([10], tf.string),
-        })
-        images = np.stack([
-            tf.io.decode_image(x).numpy() for x in parsed["images"]
-        ])
+    def map_fn(self, data):
+        images = _parse_image_example(
+            data, {"images": 10}, self.pure_python)["images"]
         return {"input": images[:, ::4, ::4, :], "target": images}
 
 

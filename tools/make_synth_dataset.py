@@ -82,6 +82,41 @@ def write_split(src, out_dir, split, count, hr_size, seed):
           f"{lr_size}->{hr_size}")
 
 
+def write_tfrecords(src, out_dir, split, count, hr_size, seed):
+    """Pair-example TFRecord split (reference dataset.py:194-204 layout:
+    tf.train.Example with 10 'input' + 10 'target' encoded PNGs).
+
+    PNGs decode to RGB via decode_image, so configs consuming these
+    should include RgbToBgrOp to match LocalDatasetOp's cv2 BGR order
+    (the reference's own tfrecord configs do the same).
+    """
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from joshupscale_tpu.data.tfrecord import encode_example, write_records
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{split}.tfrecords")
+
+    def png(img):
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        return buf.tobytes()
+
+    def examples():
+        for _ in range(count):
+            hrs = render_sequence(src, rng, hr_size)
+            yield encode_example({
+                "input": [png(h[::4, ::4]) for h in hrs],
+                "target": [png(h) for h in hrs],
+            })
+
+    n = write_records(path, examples())
+    print(f"{split}: {n} pair examples -> {path}")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
@@ -90,16 +125,22 @@ def main() -> int:
     ap.add_argument("--val", type=int, default=20)
     ap.add_argument("--hr-size", type=int, default=192)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--format", choices=("png", "tfrecords"),
+                    default="png",
+                    help="png: LocalDatasetOp file layout; tfrecords: "
+                         "pair-example TFRecords (the reference's real "
+                         "training input format)")
     args = ap.parse_args()
 
     src = cv2.imread(args.source, cv2.IMREAD_COLOR)
     if src is None:
         raise SystemExit(f"cannot read source image {args.source}")
     print(f"source {args.source}: {src.shape}")
-    write_split(src, args.out_dir, "train", args.train, args.hr_size,
-                args.seed)
-    write_split(src, args.out_dir, "val", args.val, args.hr_size,
-                args.seed + 1)
+    writer = write_split if args.format == "png" else write_tfrecords
+    writer(src, args.out_dir, "train", args.train, args.hr_size,
+           args.seed)
+    writer(src, args.out_dir, "val", args.val, args.hr_size,
+           args.seed + 1)
     return 0
 
 
