@@ -66,6 +66,21 @@ def main() -> int:
                     help="build with zero_init_tail (untrained model "
                     "== bilinear/identity-warp baseline; eval-contract "
                     "sanity check, expect margin ~0)")
+    ap.add_argument("--arch", choices=("quality", "fast"),
+                    default="quality",
+                    help="architecture the checkpoint was trained with "
+                    "(quality: 64f/10rb + 64f/24rb; fast: 32f/6rb + "
+                    "48f/12rb, configs/inference_fast.yaml)")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the weights through the int8 engine "
+                    "(per-channel symmetric weight quantization, "
+                    "export/quantize.py) -- measures the quality cost "
+                    "of the int8 tier on learned weights")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="with --int8: calibrate static activation "
+                    "scales on the first val sequence first")
+    ap.add_argument("--u8-state", action="store_true",
+                    help="serve with the uint8 recurrent-state tier")
     ap.add_argument("--save-png", metavar="PATH",
                     help="write a side-by-side strip (bilinear x4 | "
                     "model | ground truth, last frame of the first 3 "
@@ -97,18 +112,25 @@ def main() -> int:
                              frame_size=(h, w))
         model = eng.model
     else:
+        arch = {
+            "quality": ((64, 10), (64, 24)),
+            "fast": ((32, 6), (48, 12)),
+        }[args.arch]
         config = {
             "flow": {"name": "flow-resnet", "num_inputs": 4,
-                     "num_filters": 64, "num_res_blocks": 10,
+                     "num_filters": arch[0][0],
+                     "num_res_blocks": arch[0][1],
                      "zero_init_tail": args.zero_init},
-            "generator": {"name": "generator-resnet", "num_filters": 64,
-                          "num_res_blocks": 24,
+            "generator": {"name": "generator-resnet",
+                          "num_filters": arch[1][0],
+                          "num_res_blocks": arch[1][1],
                           "zero_init_tail": args.zero_init},
             "inference": {"name": "inference",
                           "generator": {"model": "generator"},
                           "flow": {"model": "flow"},
                           "skip_processing": False,
                           "frame_height": h, "frame_width": w,
+                          "u8_state": args.u8_state,
                           "compute_dtype":
                               "float32" if args.f32 else "bfloat16"},
         }
@@ -124,6 +146,18 @@ def main() -> int:
                    if k.startswith(prefix)}
             trained = unflatten_into(params, sub)
             params = trained
+        if args.int8:
+            from joshupscale_tpu.export.quantize import (
+                calibrate,
+                quantize_params_int8,
+            )
+
+            ranges = None
+            if args.calibrate:
+                cal = np.transpose(lr[:1], (1, 0, 2, 3, 4))
+                ranges = calibrate(built.obj, params, cal)
+                print(f"calibrated {len(ranges)} conv activation scales")
+            params = quantize_params_int8(params, ranges=ranges)
         model = built.obj
         eng = Engine(model, params, batch_size=n_seq)
 

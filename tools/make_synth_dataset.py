@@ -35,12 +35,20 @@ DEF_SOURCE = "/root/reference/docs/img_output.png"
 
 
 def render_sequence(src: np.ndarray, rng: np.random.Generator,
-                    hr_size: int, frames: int = 10):
-    """List of `frames` HR crops following a smooth pan/zoom path."""
+                    hr_size, frames: int = 10):
+    """List of `frames` HR crops following a smooth pan/zoom path.
+
+    ``hr_size``: int (square) or (height, width) -- windows larger than
+    the source sample reflected borders, which keeps real structure for
+    full-serving-resolution clips (tools/eval_serving_fullres.py).
+    """
+    hr_h, hr_w = ((hr_size, hr_size) if isinstance(hr_size, int)
+                  else hr_size)
     h, w = src.shape[:2]
-    margin = hr_size + 64
-    cx = rng.uniform(margin, w - margin)
-    cy = rng.uniform(margin, h - margin)
+    margin_x = min(hr_w + 64, w // 2 - 8)
+    margin_y = min(hr_h + 64, h // 2 - 8)
+    cx = rng.uniform(margin_x, w - margin_x)
+    cy = rng.uniform(margin_y, h - margin_y)
     vx = rng.uniform(-3.0, 3.0)
     vy = rng.uniform(-3.0, 3.0)
     zoom0 = rng.uniform(0.8, 1.2)
@@ -48,15 +56,15 @@ def render_sequence(src: np.ndarray, rng: np.random.Generator,
     out = []
     for t in range(frames):
         zoom = zoom0 + dzoom * t
-        # Affine: sample a hr_size window centered at (cx+vx*t, cy+vy*t)
-        # scaled by zoom (subpixel -- bilinear).
+        # Affine: sample an (hr_w, hr_h) window centered at
+        # (cx+vx*t, cy+vy*t) scaled by zoom (subpixel -- bilinear).
         tx = cx + vx * t
         ty = cy + vy * t
         m = np.array(
-            [[zoom, 0, tx - zoom * hr_size / 2],
-             [0, zoom, ty - zoom * hr_size / 2]], np.float32)
+            [[zoom, 0, tx - zoom * hr_w / 2],
+             [0, zoom, ty - zoom * hr_h / 2]], np.float32)
         frame = cv2.warpAffine(
-            src, m, (hr_size, hr_size),
+            src, m, (hr_w, hr_h),
             flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
             borderMode=cv2.BORDER_REFLECT)
         out.append(frame)
