@@ -87,7 +87,41 @@ def _clip_time(model, params, T, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
+def _probe_backend(timeout_s=90):
+    """Verify the TPU backend answers, in a SUBPROCESS with a timeout.
+
+    A wedged tunnel makes jax.devices() hang forever in-process (no
+    Python-level way to interrupt the C call), which would leave the
+    driver with rc=124 and no artifact.  Probing in a child process
+    bounds that: on failure we can still emit a structured JSON line.
+    Returns None if healthy, else a short error string.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend probe hung >{timeout_s}s (tunnel wedged?)"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        return "backend init failed: " + (tail[-1] if tail else "?")
+    return None
+
+
 def main():
+    err = _probe_backend()
+    if err is not None:
+        print(json.dumps({
+            "metric": "fps_480x270_to_1080p_quality_stream",
+            "value": None, "unit": "fps", "vs_baseline": None,
+            "error": err,
+        }))
+        return 1
+
     import jax
 
     from joshupscale_tpu.models import create_models
@@ -132,4 +166,12 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as exc:  # red bench must still be a structured artifact
+        print(json.dumps({
+            "metric": "fps_480x270_to_1080p_quality_stream",
+            "value": None, "unit": "fps", "vs_baseline": None,
+            "error": f"{type(exc).__name__}: {exc}"[:500],
+        }))
+        sys.exit(1)
