@@ -287,6 +287,19 @@ class RandomCondMapOp(MapOp):
         return data
 
 
+def _to_rgb3(img: np.ndarray) -> np.ndarray:
+    """(H,W), (H,W,1), (H,W,3) or (H,W,4) uint8 -> (H,W,3) RGB."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[-1] == 1:
+        return np.repeat(img, 3, axis=-1)
+    if img.shape[-1] == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    if img.shape[-1] != 3:
+        raise ValueError(f"Unsupported channel count {img.shape[-1]}")
+    return img
+
+
 def _decode_image_rgb(data: bytes) -> np.ndarray:
     """Decode an encoded image to RGB uint8 (tf.io.decode_image order)."""
     try:
@@ -317,8 +330,13 @@ def _parse_image_example(data: bytes, spec: Dict[str, int],
             k: tf.io.FixedLenFeature([n], tf.string)
             for k, n in spec.items()
         })
+        # decode_image returns (H,W,1) for grayscale and (H,W,4) for
+        # RGBA; normalize to 3-channel RGB so every decode backend
+        # (tf / cv2 / PIL) yields identical shapes for the same data.
         return {
-            k: np.stack([tf.io.decode_image(x).numpy() for x in parsed[k]])
+            k: np.stack([
+                _to_rgb3(tf.io.decode_image(x).numpy()) for x in parsed[k]
+            ])
             for k in spec
         }
     from .tfrecord import parse_fixed_len

@@ -28,7 +28,11 @@ parse_single_example`` and vice versa, byte-for-byte.
 from __future__ import annotations
 
 import struct
-from typing import Any, Dict, Iterable, Iterator, List, Sequence, Union
+from typing import (
+    Any, Dict, Iterable, Iterator, List, Optional, Sequence, Union,
+)
+
+import numpy as np
 
 from ..export.onnx_minimal import (
     _len_field,
@@ -117,16 +121,31 @@ def read_records(path: str, verify: bool = False) -> Iterator[bytes]:
 FeatureValue = Union[Sequence[bytes], Sequence[float], Sequence[int]]
 
 
-def _encode_feature(values: FeatureValue) -> bytes:
+def _encode_feature(values: FeatureValue,
+                    kind: Optional[str] = None) -> bytes:
+    """kind: optional explicit 'bytes'/'float'/'int64' (needed for empty
+    lists, which otherwise default to int64_list)."""
     vals = list(values)
-    if vals and isinstance(vals[0], (bytes, bytearray)):
+    if kind is None and vals:
+        v0 = vals[0]
+        if isinstance(v0, (bytes, bytearray)):
+            kind = "bytes"
+        elif isinstance(v0, (float, np.floating)):
+            kind = "float"
+        elif isinstance(v0, (int, np.integer)):
+            kind = "int64"
+        else:
+            raise TypeError(
+                f"Unsupported feature value type {type(v0).__name__}"
+            )
+    if kind == "bytes":
         body = b"".join(_len_field(1, bytes(v)) for v in vals)
         return _len_field(1, body)  # Feature.bytes_list
-    if vals and isinstance(vals[0], float):
-        packed = struct.pack(f"<{len(vals)}f", *vals)
+    if kind == "float":
+        packed = struct.pack(f"<{len(vals)}f", *(float(v) for v in vals))
         return _len_field(2, _len_field(1, packed))  # Feature.float_list
     # packed repeated int64 (what the protobuf runtime emits)
-    body = b"".join(_varint(v) for v in vals)
+    body = b"".join(_varint(int(v)) for v in vals)
     return _len_field(3, _len_field(1, body))  # Feature.int64_list
 
 

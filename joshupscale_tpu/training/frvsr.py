@@ -34,8 +34,26 @@ def preprocess_batch(x: jnp.ndarray) -> jnp.ndarray:
     Lets the data pipeline ship u8 (4x smaller host->device transfer;
     the tfrecords-TPU input layout) while float batches pass through
     unchanged (the reference's NormalizeOp-on-host layout).
+
+    TPU GUARD: converting u8 INSIDE a jitted train-step graph hangs the
+    XLA:TPU worker and wedges the shared tunnel (CLAUDE.md round-3
+    gotcha), so on non-CPU backends this raises at trace time instead
+    of silently building the hazardous graph -- normalize first with
+    ``training.trainer.device_normalize`` (fit() and the tools already
+    do).  On CPU the in-graph convert is safe and stays available so
+    the u8==f32 equivalence tests can pin the semantics device_normalize
+    must match.
     """
     if x.dtype == jnp.uint8:
+        if jax.default_backend() != "cpu":
+            raise TypeError(
+                "uint8 batch reached a jitted train-step graph on a "
+                f"'{jax.default_backend()}' backend; in-graph u8 "
+                "conversion hangs the XLA:TPU worker. Normalize on "
+                "device first via "
+                "joshupscale_tpu.training.trainer.device_normalize "
+                "(fit() does this automatically)."
+            )
         return x.astype(jnp.float32) / 255.0 - 0.5
     return x
 

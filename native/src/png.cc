@@ -82,6 +82,11 @@ std::vector<std::uint8_t> loadMaskPng(const char *path,
   std::vector<std::uint8_t> palette;  // RGB triples
   std::vector<std::uint8_t> idat;
 
+  // Hostile-input bounds: chunk lengths are attacker-controlled 32-bit
+  // fields, so bound every allocation BEFORE it happens and verify each
+  // chunk's CRC32 (zlib's crc32 covers type+data per the PNG spec).
+  std::size_t maxIdat = 0;  // known once IHDR arrives
+  std::size_t idatSeen = 0;
   for (;;) {
     std::uint8_t head[8];
     if (std::fread(head, 1, 8, f.get()) != 8) {
@@ -89,6 +94,27 @@ std::vector<std::uint8_t> loadMaskPng(const char *path,
     }
     const std::uint32_t len = readBe32(head);
     const char *type = reinterpret_cast<const char *>(head + 4);
+    const bool isIhdr = std::memcmp(type, "IHDR", 4) == 0;
+    const bool isPlte = std::memcmp(type, "PLTE", 4) == 0;
+    const bool isIdat = std::memcmp(type, "IDAT", 4) == 0;
+    if (isIhdr && len != 13) {
+      fail("bad IHDR");
+    }
+    if (isPlte && len > 3 * 256) {
+      fail("oversized PLTE");
+    }
+    if (isIdat) {
+      if (maxIdat == 0) {
+        fail("IDAT before IHDR");
+      }
+      idatSeen += len;
+      if (idatSeen > maxIdat) {
+        fail("oversized IDAT stream");
+      }
+    } else if (len > (1u << 20)) {
+      // No legitimate non-IDAT chunk in a mask asset approaches 1 MB.
+      fail("oversized chunk");
+    }
     std::vector<std::uint8_t> data(len);
     if (len != 0 && std::fread(data.data(), 1, len, f.get()) != len) {
       fail("truncated chunk data");
@@ -97,10 +123,14 @@ std::vector<std::uint8_t> loadMaskPng(const char *path,
     if (std::fread(crc, 1, 4, f.get()) != 4) {
       fail("truncated chunk crc");
     }
-    if (std::memcmp(type, "IHDR", 4) == 0) {
-      if (len != 13) {
-        fail("bad IHDR");
-      }
+    ::uLong want = ::crc32(0L, head + 4, 4);
+    if (len != 0) {
+      want = ::crc32(want, data.data(), static_cast<::uInt>(len));
+    }
+    if (readBe32(crc) != static_cast<std::uint32_t>(want)) {
+      fail("chunk CRC mismatch");
+    }
+    if (isIhdr) {
       w = readBe32(data.data());
       h = readBe32(data.data() + 4);
       const int depth = data[8];
@@ -120,12 +150,17 @@ std::vector<std::uint8_t> loadMaskPng(const char *path,
         case 6: channels = 4; break;  // RGBA
         default: fail("unsupported color type");
       }
-      if (w == 0 || h == 0 || w > (1u << 24) || h > (1u << 24)) {
+      if (w == 0 || h == 0 || w > (1u << 14) || h > (1u << 14)) {
         fail("bad dimensions");
       }
-    } else if (std::memcmp(type, "PLTE", 4) == 0) {
+      // Worst-case zlib stream for the raw image: stored blocks add
+      // ~5 bytes / 32 KiB plus a small header/trailer.
+      const std::size_t rawSize =
+          (w * static_cast<std::size_t>(channels) + 1) * h;
+      maxIdat = rawSize + rawSize / 1000 + 4096;
+    } else if (isPlte) {
       palette = data;
-    } else if (std::memcmp(type, "IDAT", 4) == 0) {
+    } else if (isIdat) {
       idat.insert(idat.end(), data.begin(), data.end());
     } else if (std::memcmp(type, "IEND", 4) == 0) {
       break;
