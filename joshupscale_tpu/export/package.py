@@ -12,6 +12,21 @@ builder + loader pipeline (reference
 ``scripts/inference/tensorrt/build_engine.py`` -> ``tensorrt_backend.cc``)
 without the byte-level reindex hacks: output identity is preserved by
 construction.
+
+``export_stablehlo=True`` additionally writes the *Python-free* serving
+artifact set consumed by the native PJRT runtime
+(``native/src/pjrt_backend.cc`` -- the analog of the reference's
+self-contained C++ TensorRT deserialization,
+``core/src/tensorrt_backend.cc:117-278``):
+
+    step.stablehlo      -- jax.export artifact (Python re-load door)
+    step.mlir           -- raw weight-embedded StableHLO module bytecode
+                           (what PJRT_Client_Compile consumes)
+    step_spec.txt       -- flat I/O signature: dtype/shape per argument,
+                           state<->output donation alias map
+    state_init.bin      -- concatenated initial state bytes (zero state,
+                           or the 127-fill u8 state for u8_state models)
+    compile_options.pb  -- serialized xla.CompileOptionsProto
 """
 
 from __future__ import annotations
@@ -73,9 +88,76 @@ def save_package(
             frame_dtype,
         )
         state = model.init_state(batch_size)
-        exported = jax_export.export(jax.jit(step))(frame, state)
+        # donate_argnums=(1,): the recurrent state ping-pongs in device
+        # memory -- the exported module carries tf.aliasing_output
+        # attributes that XLA turns into input/output buffer aliases,
+        # so the native PJRT frame loop never copies state.
+        exported = jax_export.export(
+            jax.jit(step, donate_argnums=(1,)))(frame, state)
         with open(os.path.join(path, "step.stablehlo"), "wb") as f:
             f.write(exported.serialize())
+        _write_native_serving_artifacts(path, exported, state, model)
+
+
+def _write_native_serving_artifacts(path, exported, state, model) -> None:
+    """Write the Python-free PJRT serving artifact set (see module
+    docstring).  ``exported`` is the jax.export result of the donated
+    single-frame step."""
+    import jax
+    import numpy as np
+
+    with open(os.path.join(path, "step.mlir"), "wb") as f:
+        f.write(exported.mlir_module_serialized)
+
+    # Compile options: the standard serialized xla.CompileOptionsProto
+    # jax itself hands to PJRT_Client_Compile (1 replica, 1 partition).
+    from jax._src.lib import xla_client
+
+    with open(os.path.join(path, "compile_options.pb"), "wb") as f:
+        f.write(xla_client.CompileOptions().SerializeAsString())
+
+    # Flat I/O signature.  Inputs flatten as (frame, *state_leaves) and
+    # outputs as (display, *new_state_leaves) with identical state
+    # treedefs, so output 1+k donation-aliases argument 1+k.
+    state_leaves = jax.tree_util.tree_leaves(state)
+    n_state = len(state_leaves)
+    assert len(exported.in_avals) == 1 + n_state
+    assert len(exported.out_avals) == 1 + n_state
+    for k, leaf in enumerate(state_leaves):
+        a_in = exported.in_avals[1 + k]
+        a_out = exported.out_avals[1 + k]
+        assert a_in.shape == a_out.shape and a_in.dtype == a_out.dtype, (
+            f"state leaf {k} not self-aliasing: {a_in} vs {a_out}"
+        )
+
+    def _dt(dtype) -> str:
+        name = np.dtype(dtype).name  # ml_dtypes names bfloat16 directly
+        return {
+            "uint8": "u8", "float32": "f32", "bfloat16": "bf16",
+            "float16": "f16", "int32": "i32", "float64": "f64",
+        }[name]
+
+    lines = ["joshupscale-step-spec 1",
+             f"frame_height {model.frame_height}",
+             f"frame_width {model.frame_width}",
+             "scale 4"]
+    for aval in exported.in_avals:
+        dims = ",".join(str(d) for d in aval.shape)
+        lines.append(f"input {_dt(aval.dtype)} {dims}")
+    for aval in exported.out_avals:
+        dims = ",".join(str(d) for d in aval.shape)
+        lines.append(f"output {_dt(aval.dtype)} {dims}")
+    for k in range(n_state):
+        lines.append(f"alias {1 + k} {1 + k}")
+    with open(os.path.join(path, "step_spec.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    # Initial state bytes, concatenated in flat-leaf order (zeros for
+    # float state; 127-fill for u8_state models -- the C++ runtime must
+    # not hardcode either).
+    with open(os.path.join(path, "state_init.bin"), "wb") as f:
+        for leaf in state_leaves:
+            f.write(np.ascontiguousarray(np.asarray(leaf)).tobytes())
 
 
 def load_stablehlo_step(path: str):

@@ -15,26 +15,30 @@
 #include <string>
 #include <vector>
 
+#include "backend.h"
+
 namespace JoshUpscale {
 namespace core {
 
-class PythonEngine {
+class PythonEngine final : public Backend {
  public:
   PythonEngine(int deviceId, const std::string &modelPath);
-  ~PythonEngine();
+  ~PythonEngine() override;
 
   PythonEngine(const PythonEngine &) = delete;
   PythonEngine &operator=(const PythonEngine &) = delete;
 
   // in: H*W*3 BGR bytes; out is resized to 4H*4W*3.
   void process(const std::uint8_t *in, std::size_t inSize,
-               std::vector<std::uint8_t> *out);
-  void reset();
+               std::vector<std::uint8_t> *out) override;
+  void reset() override;
 
-  std::size_t inputWidth() const noexcept { return m_inputWidth; }
-  std::size_t inputHeight() const noexcept { return m_inputHeight; }
-  std::size_t outputWidth() const noexcept { return m_outputWidth; }
-  std::size_t outputHeight() const noexcept { return m_outputHeight; }
+  std::size_t inputWidth() const noexcept override { return m_inputWidth; }
+  std::size_t inputHeight() const noexcept override { return m_inputHeight; }
+  std::size_t outputWidth() const noexcept override { return m_outputWidth; }
+  std::size_t outputHeight() const noexcept override {
+    return m_outputHeight;
+  }
 
  private:
   void *m_engine = nullptr;  // PyObject*

@@ -1,13 +1,21 @@
 // Runtime facade: frame validation, strided/bottom-up frame staging,
-// and createRuntime (reference core/src/core.cc:154-203).
+// backend selection, and createRuntime (reference core/src/core.cc:154-203).
 
+#include <cstdlib>
 #include <cstring>
+#include <fstream>
+#include <memory>
 #include <stdexcept>
+#include <string>
 #include <vector>
 
+#include "backend.h"
 #include "joshupscale/core.h"
 #include "logging.h"
 #include "python_backend.h"
+#ifdef JOSHUPSCALE_HAS_PJRT
+#include "pjrt_backend.h"
+#endif
 
 namespace JoshUpscale {
 namespace core {
@@ -41,33 +49,57 @@ void copyFromContiguous(const std::vector<std::uint8_t> &src,
   }
 }
 
+// Backend choice: the PJRT path (no embedded interpreter) is selected
+// by setting JOSHUPSCALE_PJRT_PLUGIN=<plugin.so> when the package ships
+// the Python-free serving artifact (step.mlir); everything else serves
+// through the embedded-CPython engine, which handles any package.
+std::unique_ptr<Backend> createBackend(int deviceId,
+                                       const char *modelPath) {
+#ifdef JOSHUPSCALE_HAS_PJRT
+  const char *plugin = std::getenv("JOSHUPSCALE_PJRT_PLUGIN");
+  if (plugin != nullptr && plugin[0] != '\0') {
+    std::string mlir = std::string(modelPath) + "/step.mlir";
+    if (!std::ifstream(mlir).good()) {
+      throw std::runtime_error(
+          "JOSHUPSCALE_PJRT_PLUGIN is set but the package has no "
+          "step.mlir (re-export with export_stablehlo=True): " + mlir);
+    }
+    const char *options = std::getenv("JOSHUPSCALE_PJRT_OPTIONS");
+    return std::make_unique<PjrtEngine>(
+        plugin, modelPath, deviceId,
+        options != nullptr ? std::string(options) : std::string());
+  }
+#endif
+  return std::make_unique<PythonEngine>(deviceId, modelPath);
+}
+
 class TpuRuntime final : public Runtime {
  public:
   TpuRuntime(int deviceId, const char *modelPath)
-      : m_engine(deviceId, modelPath) {}
+      : m_engine(createBackend(deviceId, modelPath)) {}
 
   void processImage(const Image &in, const Image &out) override {
-    validate(in, m_engine.inputWidth(), m_engine.inputHeight(), "input");
-    validate(out, m_engine.outputWidth(), m_engine.outputHeight(),
+    validate(in, m_engine->inputWidth(), m_engine->inputHeight(), "input");
+    validate(out, m_engine->outputWidth(), m_engine->outputHeight(),
              "output");
     copyToContiguous(in, &m_inBuffer);
-    m_engine.process(m_inBuffer.data(), m_inBuffer.size(), &m_outBuffer);
+    m_engine->process(m_inBuffer.data(), m_inBuffer.size(), &m_outBuffer);
     copyFromContiguous(m_outBuffer, out);
   }
 
-  void reset() override { m_engine.reset(); }
+  void reset() override { m_engine->reset(); }
 
   std::size_t getInputWidth() const noexcept override {
-    return m_engine.inputWidth();
+    return m_engine->inputWidth();
   }
   std::size_t getInputHeight() const noexcept override {
-    return m_engine.inputHeight();
+    return m_engine->inputHeight();
   }
   std::size_t getOutputWidth() const noexcept override {
-    return m_engine.outputWidth();
+    return m_engine->outputWidth();
   }
   std::size_t getOutputHeight() const noexcept override {
-    return m_engine.outputHeight();
+    return m_engine->outputHeight();
   }
 
  private:
@@ -89,7 +121,7 @@ class TpuRuntime final : public Runtime {
     }
   }
 
-  PythonEngine m_engine;
+  std::unique_ptr<Backend> m_engine;
   std::vector<std::uint8_t> m_inBuffer;
   std::vector<std::uint8_t> m_outBuffer;
 };

@@ -208,3 +208,103 @@ def test_mask_asset_loads_and_composes(tmp_path):
     ref = np.asarray(Image.open(mask_png).convert("L"))
     assert ref.shape == (1080, 1920)
     assert set(np.unique(ref)) == {0, 255}
+
+
+@pytest.fixture(scope="module")
+def pjrt_package(tmp_path_factory):
+    """A package WITH the Python-free PJRT serving artifacts."""
+    from joshupscale_tpu.export.package import save_package
+    from joshupscale_tpu.models import create_models
+
+    config = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "inference": {
+            "name": "inference",
+            "generator": {"model": "generator"},
+            "flow": {"model": "flow"},
+            "skip_processing": False,
+            "frame_height": 16,
+            "frame_width": 24,
+        },
+    }
+    models = create_models(config, seed=7)
+    path = tmp_path_factory.mktemp("pjrt_pkg") / "model"
+    save_package(str(path), config, models["inference"],
+                 export_stablehlo=True)
+    return str(path), models["inference"]
+
+
+def _mock_pjrt_available():
+    return os.path.exists(os.path.join(BUILD, "libmock_pjrt.so"))
+
+
+@needs_toolchain
+def test_pjrt_backend_mock_plugin_end_to_end(pjrt_package, tmp_path):
+    """The Python-free PJRT serving backend, driven end-to-end through
+    upscale_cli against the in-repo mock PJRT plugin: package spec parse
+    -> client create -> StableHLO module handed to compile -> recurrent
+    frame loop with donated state buffers -> output fetch.
+
+    The mock (native/tests/mock_pjrt_plugin.cc) enforces donation (using
+    a consumed buffer is an error) and computes outputs by a byte rule
+    replicated here, so the comparison proves the backend rotates state
+    buffer CONTENTS frame over frame, not just handles.  Numerical
+    parity of the real compiled StableHLO is covered by
+    test_stablehlo_export_roundtrip (Python door) and, on TPU hardware,
+    by the axon-plugin run recorded in BASELINE.md.
+    """
+    _build()
+    if not _mock_pjrt_available():
+        pytest.skip("PJRT C API header absent; backend not built")
+    pkg_path, _ = pjrt_package
+
+    H, W = 16, 24
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (3, H, W, 3), np.uint8)
+    in_raw = tmp_path / "in.raw"
+    out_raw = tmp_path / "out.raw"
+    frames.tofile(in_raw)
+
+    env = _subprocess_env()
+    env["JOSHUPSCALE_PJRT_PLUGIN"] = os.path.join(
+        BUILD, "libmock_pjrt.so")
+    env["MOCK_PJRT_SPEC"] = os.path.join(pkg_path, "step_spec.txt")
+    result = subprocess.run(
+        [CLI, pkg_path, str(in_raw), str(out_raw)],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert result.returncode == 0, result.stderr
+    assert "PJRT engine loaded" in result.stderr
+
+    out = np.fromfile(out_raw, np.uint8).reshape(3, 4 * H, 4 * W, 3)
+    n0 = H * W * 3
+    k = np.arange(4 * H * 4 * W * 3)
+    for t in range(3):
+        base = frames[t].reshape(-1)
+        # Mock rule: display = (in0 cycled ^ 0x5A) + in1; the state
+        # bytes all equal t after t donation rotations of zero state.
+        expect = ((base[k % n0] ^ 0x5A).astype(np.uint16) + t) % 256
+        got = out[t].reshape(-1)
+        np.testing.assert_array_equal(got, expect.astype(np.uint8))
+
+
+@needs_toolchain
+def test_pjrt_backend_requires_serving_artifacts(package, tmp_path):
+    """JOSHUPSCALE_PJRT_PLUGIN against a package without step.mlir must
+    fail with an actionable message, not fall back silently."""
+    _build()
+    if not _mock_pjrt_available():
+        pytest.skip("PJRT C API header absent; backend not built")
+    pkg_path, _ = package  # the fixture without export_stablehlo
+    env = _subprocess_env()
+    env["JOSHUPSCALE_PJRT_PLUGIN"] = os.path.join(
+        BUILD, "libmock_pjrt.so")
+    result = subprocess.run(
+        [CLI, pkg_path, "/dev/null", "/dev/null"],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert result.returncode != 0
+    assert "step.mlir" in result.stderr
