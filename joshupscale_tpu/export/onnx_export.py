@@ -114,13 +114,44 @@ class _GraphBuilder:
 
 
 def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
-                frame_width: int, num_flow_frames: int = 4) -> None:
+                frame_width: int, num_flow_frames: int = 4,
+                frame_moving_avg: Any = None,
+                output_flow: bool = False,
+                remove_flow: bool = False) -> None:
     """Write the deployable ONNX graph for a resnet-flow + resnet-
     generator inference model (the reference's default architecture).
 
     ``params``: the inference param tree ``{"flow": ..., "generator":
     ...}`` (plain f32 leaves; BN folded here).
+
+    Deployment variants -- each reproduces the graph a reference user
+    gets from the corresponding surgery script:
+
+    - ``frame_moving_avg`` (a ``FrameMovingAvgConfig`` or option dict):
+      temporal stabilization + scene-cut gate spliced between the
+      generator clip and the output, so the filtered frame feeds both
+      display and the recurrence (reference onnx/frame_moving_avg.py:
+      99-307, incl. windowed mode, L1/L2 norms, tanh gain gate, luma
+      normalization and the pre_warp limit).
+    - ``output_flow``: the clip is rewired onto the warped frame and
+      the generator body is dropped (reference onnx/output_flow.py:
+      64-77).
+    - ``remove_flow``: non-temporal single-frame graph -- flow net,
+      warp and all state I/O removed, generator first-conv kernel
+      sliced to the 3 frame channels (reference onnx/remove_flow.py:
+      64-77).
     """
+    if remove_flow:
+        if frame_moving_avg is not None or output_flow:
+            raise ValueError(
+                "remove_flow excludes frame_moving_avg/output_flow "
+                "(there is no warp to blend or display)")
+        _export_remove_flow(path, params, frame_height, frame_width)
+        return
+    if frame_moving_avg is not None and output_flow:
+        raise ValueError(
+            "output_flow drops the generator; frame_moving_avg would "
+            "have nothing to blend")
     h, w = frame_height, frame_width
     hr_h, hr_w = h * 4, w * 4
     k = num_flow_frames - 1
@@ -183,38 +214,52 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
         "GridSample", ["pre_gen", grid], mode="bilinear",
         padding_mode="border", align_corners=0, out="pre_warp")
 
-    # ---- generator ---------------------------------------------------
-    gp = params["generator"]
-    s2d = g.node("SpaceToDepth", [pre_warp], blocksize=4)
-    x = g.node("Concat", [pre, s2d], axis=1)
-    k1, b1 = _fold_conv_bn(gp["conv_1"], gp["bn_1"])
-    x = g.conv(x, "generator.conv_1", k1, b1)
-    x = g.node("Relu", [x])
-    x = g.res_blocks(x, gp, "generator")
-    # conv_trans_1 (bias-free) + bn_2 folded along the O axis.
-    inv = _np(gp["bn_2"]["gamma"]) / np.sqrt(
-        _np(gp["bn_2"]["moving_variance"]) + BN_EPS)
-    offset = (_np(gp["bn_2"]["beta"])
-              - _np(gp["bn_2"]["moving_mean"]) * inv)
-    kt1 = _np(gp["conv_trans_1"]["kernel"]) * inv[None, None, :, None]
-    x = g.conv_transpose_2x(x, "generator.conv_trans_1", kt1, offset)
-    x = g.node("Relu", [x])
-    x = g.conv_transpose_2x(
-        x, "generator.conv_trans_2", gp["conv_trans_2"]["kernel"],
-        gp["conv_trans_2"]["bias"])
-    x = g.node("Tanh", [x])
-    # TF1 bilinear x4 skip: Resize with asymmetric coordinates
-    # (align_corners=False, half_pixel_centers=False).
-    up = g.node(
-        "Resize",
-        [pre, "", g.tensor("up.scales",
-                           np.asarray([1, 1, 4, 4], np.float32))],
-        mode="linear", coordinate_transformation_mode="asymmetric")
-    x = g.node("Add", [up, x])
-    out_raw = g.node(
-        "Clip", [x, g.tensor("clip.min", np.float32(-0.5)),
-                 g.tensor("clip.max", np.float32(0.5))],
-        out="output_raw")
+    if output_flow:
+        # Reference surgery: the clip node's input becomes the warped
+        # frame; the generator body is dead and never emitted
+        # (onnx/output_flow.py:64-77 + the simplify pass).
+        out_raw = g.node(
+            "Clip", [pre_warp, g.tensor("clip.min", np.float32(-0.5)),
+                     g.tensor("clip.max", np.float32(0.5))],
+            out="output_raw")
+    else:
+        # ---- generator -----------------------------------------------
+        gp = params["generator"]
+        s2d = g.node("SpaceToDepth", [pre_warp], blocksize=4)
+        x = g.node("Concat", [pre, s2d], axis=1)
+        k1, b1 = _fold_conv_bn(gp["conv_1"], gp["bn_1"])
+        x = g.conv(x, "generator.conv_1", k1, b1)
+        x = g.node("Relu", [x])
+        x = g.res_blocks(x, gp, "generator")
+        # conv_trans_1 (bias-free) + bn_2 folded along the O axis.
+        inv = _np(gp["bn_2"]["gamma"]) / np.sqrt(
+            _np(gp["bn_2"]["moving_variance"]) + BN_EPS)
+        offset = (_np(gp["bn_2"]["beta"])
+                  - _np(gp["bn_2"]["moving_mean"]) * inv)
+        kt1 = _np(gp["conv_trans_1"]["kernel"]) * inv[None, None, :, None]
+        x = g.conv_transpose_2x(x, "generator.conv_trans_1", kt1, offset)
+        x = g.node("Relu", [x])
+        x = g.conv_transpose_2x(
+            x, "generator.conv_trans_2", gp["conv_trans_2"]["kernel"],
+            gp["conv_trans_2"]["bias"])
+        x = g.node("Tanh", [x])
+        # TF1 bilinear x4 skip: Resize with asymmetric coordinates
+        # (align_corners=False, half_pixel_centers=False).
+        up = g.node(
+            "Resize",
+            [pre, "", g.tensor("up.scales",
+                               np.asarray([1, 1, 4, 4], np.float32))],
+            mode="linear", coordinate_transformation_mode="asymmetric")
+        x = g.node("Add", [up, x])
+        clipped = g.node(
+            "Clip", [x, g.tensor("clip.min", np.float32(-0.5)),
+                     g.tensor("clip.max", np.float32(0.5))],
+            out="output_pre_mask" if frame_moving_avg is not None
+            else "output_raw")
+        out_raw = clipped
+        if frame_moving_avg is not None:
+            out_raw = _emit_moving_avg(
+                g, clipped, pre_warp, frame_moving_avg, hr_h, hr_w)
 
     # ---- postprocess + outputs --------------------------------------
     post = g.node("Mul", [g.node("Add", [out_raw, half]),
@@ -232,6 +277,173 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
         outputs.append(om.make_value_info(f"out_frame_{i}", om.FLOAT,
                                           [1, 3, h, w]))
 
+    graph = om.make_graph("joshupscale", g.nodes, inputs, outputs,
+                          g.inits)
+    with open(path, "wb") as f:
+        f.write(om.make_model(graph, opset=16))
+
+
+# BGR luma weights, reference frame_moving_avg.py LUMA_NORM (x3 so the
+# weighted mean over 3 channels averages to a luma-weighted value).
+_LUMA_NORM = np.asarray([0.1140, 0.5870, 0.2989],
+                        np.float32).reshape(1, 3, 1, 1) * 3
+
+
+def _emit_moving_avg(g: _GraphBuilder, clipped: str, pre_warp: str,
+                     config: Any, hr_h: int, hr_w: int) -> str:
+    """Splice the temporal-stabilization blend between the generator
+    clip and the output (reference frame_moving_avg.py:152-307): the
+    returned tensor feeds both display and the recurrence.  NCHW."""
+    from joshupscale_tpu.ops.temporal import FrameMovingAvgConfig
+
+    if isinstance(config, dict):
+        config = FrameMovingAvgConfig(**config)
+    cfg = config
+
+    warp = pre_warp
+    if cfg.limit:
+        warp = g.node(
+            "Max", [g.node("Min", [warp,
+                                   g.tensor("ma.lim_max",
+                                            np.float32(0.5))]),
+                    g.tensor("ma.lim_min", np.float32(-0.5))])
+
+    diff = g.node("Sub", [clipped, warp])
+    if cfg.norm == "l1":
+        diff = g.node("Abs", [diff])
+    elif cfg.norm == "l2":
+        diff = g.node("Mul", [diff, diff])
+    else:
+        raise ValueError(f"Unknown norm type {cfg.norm}")
+
+    gain_coef = 1.0 if cfg.gain == 0 else float(cfg.gain)
+    if cfg.window == 0:
+        if cfg.luma_normalize:
+            kernel = _LUMA_NORM * gain_coef
+            if cfg.norm == "l2":
+                kernel = kernel * _LUMA_NORM
+            diff = g.node("Mul", [diff, g.tensor("ma.gain", kernel)])
+            mean = g.node("ReduceMean", [diff])
+        else:
+            mean = g.node("ReduceMean", [diff])
+            if cfg.gain != 0:
+                mean = g.node(
+                    "Mul", [mean, g.tensor("ma.gain",
+                                           np.float32(gain_coef))])
+        pads = None
+    else:
+        win = int(cfg.window)
+        out_shape = [(d + win - 1) // win * win for d in (hr_h, hr_w)]
+        pads = [((s - d) // 2, s - d - (s - d) // 2)
+                for s, d in zip(out_shape, (hr_h, hr_w))]
+        kernel = np.ones((1, 3, win, win), np.float32) \
+            / 3.0 / win / win * gain_coef
+        if cfg.luma_normalize:
+            kernel = kernel * _LUMA_NORM
+            if cfg.norm == "l2":
+                kernel = kernel * _LUMA_NORM
+        mean = g.node(
+            "Conv", [diff, g.tensor("ma.mean_kernel", kernel)],
+            kernel_shape=[win, win], strides=[win, win],
+            pads=[pads[0][0], pads[1][0], pads[0][1], pads[1][1]])
+
+    cond = g.node(
+        "Add", [mean, g.tensor(
+            "ma.threshold", np.float32(-cfg.threshold * gain_coef))])
+    cond = g.node("Sign" if cfg.gain == 0 else "Tanh", [cond])
+
+    if cfg.window != 0:
+        win = int(cfg.window)
+        cond = g.node(
+            "Resize",
+            [cond, "", g.tensor(
+                "ma.mask_scales",
+                np.asarray([1, 1, win, win], np.float32))],
+            mode="linear", coordinate_transformation_mode="asymmetric")
+        if any(p != 0 for pair in pads for p in pair):
+            out_shape = [(d + win - 1) // win * win
+                         for d in (hr_h, hr_w)]
+            for axis, (dim, (lo, hi)) in enumerate(
+                    zip(out_shape, pads), start=2):
+                if lo == 0 and hi == 0:
+                    continue
+                cond = g.node(
+                    "Slice",
+                    [cond,
+                     g.tensor(f"ma.crop{axis}.start",
+                              np.asarray([lo], np.int64)),
+                     g.tensor(f"ma.crop{axis}.end",
+                              np.asarray([dim - hi], np.int64)),
+                     g.tensor(f"ma.crop{axis}.axis",
+                              np.asarray([axis], np.int64)),
+                     g.tensor(f"ma.crop{axis}.step",
+                              np.asarray([1], np.int64))])
+
+    s = float(cfg.strength)
+    mask = g.node(
+        "Add", [g.node("Mul", [cond, g.tensor("ma.c2",
+                                              np.float32(-s / 2))]),
+                g.tensor("ma.c1", np.float32(s / 2))])
+    mask2 = g.node(
+        "Add", [g.node("Mul", [cond, g.tensor("ma.c1b",
+                                              np.float32(s / 2))]),
+                g.tensor("ma.c3", np.float32(1 - s / 2))])
+    return g.node(
+        "Add", [g.node("Mul", [warp, mask]),
+                g.node("Mul", [clipped, mask2])],
+        out="output_raw")
+
+
+def _export_remove_flow(path: str, params: Dict[str, Any],
+                        frame_height: int, frame_width: int) -> None:
+    """Non-temporal single-frame graph: flow net, warp and state I/O
+    removed; the generator first conv keeps only the 3 frame input
+    channels (reference onnx/remove_flow.py:64-77 slices the weights
+    with ``weights[:, :3, :, :]`` after rewiring the concat away)."""
+    h, w = frame_height, frame_width
+    hr_h, hr_w = h * 4, w * 4
+    g = _GraphBuilder()
+
+    inputs = [om.make_value_info("cur_frame", om.FLOAT, [1, h, w, 3])]
+    t_cur = g.node("Transpose", ["cur_frame"], perm=[0, 3, 1, 2])
+    scale = g.tensor("pre.scale", np.float32(1.0 / 255.0))
+    half = g.tensor("pre.half", np.float32(0.5))
+    pre = g.node("Sub", [g.node("Mul", [t_cur, scale]), half],
+                 out="pre")
+
+    gp = params["generator"]
+    k1, b1 = _fold_conv_bn(gp["conv_1"], gp["bn_1"])
+    k1 = k1[:, :, :3, :]  # HWIO: keep the frame channels only
+    x = g.conv(pre, "generator.conv_1", k1, b1)
+    x = g.node("Relu", [x])
+    x = g.res_blocks(x, gp, "generator")
+    inv = _np(gp["bn_2"]["gamma"]) / np.sqrt(
+        _np(gp["bn_2"]["moving_variance"]) + BN_EPS)
+    offset = (_np(gp["bn_2"]["beta"])
+              - _np(gp["bn_2"]["moving_mean"]) * inv)
+    kt1 = _np(gp["conv_trans_1"]["kernel"]) * inv[None, None, :, None]
+    x = g.conv_transpose_2x(x, "generator.conv_trans_1", kt1, offset)
+    x = g.node("Relu", [x])
+    x = g.conv_transpose_2x(
+        x, "generator.conv_trans_2", gp["conv_trans_2"]["kernel"],
+        gp["conv_trans_2"]["bias"])
+    x = g.node("Tanh", [x])
+    up = g.node(
+        "Resize",
+        [pre, "", g.tensor("up.scales",
+                           np.asarray([1, 1, 4, 4], np.float32))],
+        mode="linear", coordinate_transformation_mode="asymmetric")
+    x = g.node("Add", [up, x])
+    out_raw = g.node(
+        "Clip", [x, g.tensor("clip.min", np.float32(-0.5)),
+                 g.tensor("clip.max", np.float32(0.5))],
+        out="output_raw")
+    post = g.node("Mul", [g.node("Add", [out_raw, half]),
+                          g.tensor("post.scale", np.float32(255.0))])
+    g.node("Transpose", [post], perm=[0, 2, 3, 1], out="output")
+
+    outputs = [om.make_value_info("output", om.FLOAT,
+                                  [1, hr_h, hr_w, 3])]
     graph = om.make_graph("joshupscale", g.nodes, inputs, outputs,
                           g.inits)
     with open(path, "wb") as f:

@@ -91,12 +91,12 @@ def _grid_sample(img, grid):
     return out.transpose(2, 0, 1)[None].astype(np.float32)
 
 
-def _resize4(x):
-    # linear, asymmetric (TF1 align_corners=F half_pixel=F): src = dst/4
+def _resize(x, scale_h, scale_w):
+    # linear, asymmetric (TF1 align_corners=F half_pixel=F): src=dst/scale
     n, c, h, w = x.shape
-    oh, ow = h * 4, w * 4
-    sy = np.arange(oh, dtype=np.float32) / 4.0
-    sx = np.arange(ow, dtype=np.float32) / 4.0
+    oh, ow = int(h * scale_h), int(w * scale_w)
+    sy = np.arange(oh, dtype=np.float32) / scale_h
+    sx = np.arange(ow, dtype=np.float32) / scale_w
     y0 = np.floor(sy).astype(np.int64)
     x0 = np.floor(sx).astype(np.int64)
     wy = (sy - y0)[None, None, :, None]
@@ -158,11 +158,23 @@ def run_graph(model: Dict[str, Any],
         elif op == "GridSample":
             r = _grid_sample(i[0], i[1])
         elif op == "Resize":
-            r = _resize4(i[0])
+            scales = np.asarray(i[2], np.float32)
+            r = _resize(i[0], float(scales[2]), float(scales[3]))
         elif op == "Clip":
             r = np.clip(i[0], i[1], i[2])
         elif op == "Identity":
             r = i[0]
+        elif op == "Abs":
+            r = np.abs(i[0])
+        elif op == "Sign":
+            r = np.sign(i[0])
+        elif op == "Min":
+            r = np.minimum(i[0], i[1])
+        elif op == "Max":
+            r = np.maximum(i[0], i[1])
+        elif op == "ReduceMean":
+            # Default attrs (the only form emitted): all axes, keepdims.
+            r = np.mean(i[0], keepdims=True)
         else:
             raise NotImplementedError(op)
         env[node["outputs"][0]] = np.asarray(r, np.float32)
@@ -176,7 +188,10 @@ class OnnxClipRunner:
     frames and zero-initialized at construction/reset."""
 
     def __init__(self, path_or_model, height: int, width: int,
-                 num_flow_frames: int = 4) -> None:
+                 num_flow_frames: int = 4, stateless: bool = False
+                 ) -> None:
+        """``stateless=True`` drives a remove_flow graph (single frame
+        in, single frame out, no recurrent feeds)."""
         if isinstance(path_or_model, (str, bytes)):
             from joshupscale_tpu.export import onnx_minimal as om
 
@@ -184,11 +199,15 @@ class OnnxClipRunner:
                 path_or_model = om.decode_model(f.read())
         self.model = path_or_model
         self.h, self.w = height, width
-        self.num_last = num_flow_frames - 1
+        self.num_last = 0 if stateless else num_flow_frames - 1
+        self.stateless = stateless
         self.reset()
 
     def reset(self) -> None:
-        self.feeds: Dict[str, np.ndarray] = {
+        if self.stateless:
+            self.feeds: Dict[str, np.ndarray] = {}
+            return
+        self.feeds = {
             "pre_gen": np.zeros((1, 3, 4 * self.h, 4 * self.w),
                                 np.float32),
             **{f"last_frame_{i}": np.zeros((1, 3, self.h, self.w),
@@ -200,7 +219,8 @@ class OnnxClipRunner:
         """One recurrent step: (H, W, 3) u8 -> (4H, 4W, 3) u8."""
         self.feeds["cur_frame"] = frame[None].astype(np.float32)
         outs = run_graph(self.model, self.feeds)
-        self.feeds["pre_gen"] = outs["output_raw"]
-        for i in range(self.num_last):
-            self.feeds[f"last_frame_{i}"] = outs[f"out_frame_{i}"]
+        if not self.stateless:
+            self.feeds["pre_gen"] = outs["output_raw"]
+            for i in range(self.num_last):
+                self.feeds[f"last_frame_{i}"] = outs[f"out_frame_{i}"]
         return np.clip(outs["output"], 0, 255).astype(np.uint8)[0]

@@ -332,13 +332,16 @@ class InferenceModel:
                 output_raw = frame_moving_avg(
                     output_raw, pre_warp, self.frame_moving_avg
                 )
+        if self.output_flow:
+            # Debug variant: the reference surgery rewires the clip node
+            # onto the warped frame (onnx/output_flow.py:64-77), so the
+            # clipped warp feeds BOTH the display output and the
+            # recurrent state and the generator body goes dead (XLA
+            # DCEs it here exactly like the reference's simplify pass).
+            output_raw = jnp.clip(pre_warp, -0.5, 0.5)
         output_denorm = output_raw
         if self.normalize_brightness:
             output_raw = output_raw - bright
-
-        if self.output_flow:
-            # Debug variant: display the warped frame instead.
-            output_denorm = pre_warp
 
         if s2d:
             # HR views (dead-code-eliminated when unused, e.g. in the

@@ -219,3 +219,84 @@ def test_onnx_to_npz_tool_roundtrip(built_model, tmp_path):
     # tool transposes IOHW back to (kh, kw, O, I)
     np.testing.assert_array_equal(
         z["generator.conv_trans_2.kernel"], kt)
+
+
+# ---------------------------------------------------------------------
+# Deployment-variant exit doors (reference onnx/frame_moving_avg.py,
+# output_flow.py, remove_flow.py): each exported graph is interpreted
+# over a recurrent clip and compared against the ENGINE built with the
+# same model option.
+
+def _variant_config(**inference_opts):
+    config = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": FILTERS, "num_res_blocks": FLOW_BLOCKS},
+        "generator": {"name": "generator-resnet",
+                      "num_filters": FILTERS,
+                      "num_res_blocks": GEN_BLOCKS},
+        "inference": {"name": "inference",
+                      "generator": {"model": "generator"},
+                      "flow": {"model": "flow"},
+                      "skip_processing": False,
+                      "s2d_mode": False,
+                      "frame_height": H, "frame_width": W,
+                      **inference_opts},
+    }
+    if inference_opts.get("remove_flow"):
+        del config["flow"]
+        del config["inference"]["flow"]
+    return config
+
+
+@pytest.mark.parametrize("opts", [
+    # Global scene detection, hard sign gate (the reference defaults).
+    {"frame_moving_avg": {"strength": 0.25, "threshold": 0.1}},
+    # Windowed detection + soft tanh gate + L2 + luma + pre_warp limit:
+    # the full option surface of frame_moving_avg.py in one graph
+    # (window 16 does not divide 64/96, exercising pad+resize+crop).
+    {"frame_moving_avg": {"strength": 0.7, "window": 24,
+                          "threshold": 0.02, "gain": 8.0, "norm": "l2",
+                          "luma_normalize": True, "limit": True}},
+    {"output_flow": True},
+    {"remove_flow": True},
+], ids=["moving_avg_global", "moving_avg_windowed", "output_flow",
+        "remove_flow"])
+def test_variant_export_matches_engine(opts, tmp_path):
+    from joshupscale_tpu.export.onnx_interp import OnnxClipRunner
+    from joshupscale_tpu.models import create_models
+    from joshupscale_tpu.runtime.engine import Engine
+
+    built = create_models(_variant_config(**opts), seed=11)["inference"]
+    path = str(tmp_path / "variant.onnx")
+    m = built.obj
+    export_onnx(path, built.params, H, W,
+                num_flow_frames=4,
+                frame_moving_avg=m.frame_moving_avg,
+                output_flow=m.output_flow,
+                remove_flow=m.remove_flow)
+
+    runner = OnnxClipRunner(path, H, W, stateless=m.remove_flow)
+    eng = Engine(m, built.params)
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 256, (H, W, 3), np.uint8)
+    # Clip shape: repeated frame (small diff -> moving-avg blend ON),
+    # then a scene cut (pass-through), then repeats again.
+    clip = [base, base, base,
+            rng.integers(0, 256, (H, W, 3), np.uint8)]
+    clip.append(clip[-1])
+    for t, frame in enumerate(clip):
+        ours = eng.process(frame)
+        theirs = runner.process(frame)
+        d = np.abs(ours.astype(int) - theirs.astype(int)).max()
+        assert d <= 1, f"{opts}: frame {t} max u8 diff {d}"
+
+
+def test_variant_export_rejects_contradictory_options(built_model,
+                                                      tmp_path):
+    with pytest.raises(ValueError):
+        export_onnx(str(tmp_path / "x.onnx"), built_model.params, H, W,
+                    output_flow=True, remove_flow=True)
+    with pytest.raises(ValueError):
+        export_onnx(str(tmp_path / "x.onnx"), built_model.params, H, W,
+                    output_flow=True,
+                    frame_moving_avg={"strength": 0.5})
