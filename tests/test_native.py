@@ -308,3 +308,42 @@ def test_pjrt_backend_requires_serving_artifacts(package, tmp_path):
     )
     assert result.returncode != 0
     assert "step.mlir" in result.stderr
+
+
+def test_native_lint_gate(tmp_path):
+    """The in-repo lint gate (native/tools/lint.py, wired into the
+    CMake build as a hard pre-compile dependency -- the analog of the
+    reference's clang-tidy/cpplint-as-gate, reference
+    CMakeLists.txt:50-72): clean on the shipped tree, fails on seeded
+    violations."""
+    import subprocess as sp
+
+    lint = os.path.join(NATIVE, "tools", "lint.py")
+    sources = []
+    for root, _, files in os.walk(NATIVE):
+        if "build" in root.split(os.sep) or "third_party" in root:
+            continue
+        sources += [os.path.join(root, f) for f in files
+                    if f.endswith((".cc", ".h"))]
+    assert len(sources) > 20
+    r = sp.run([sys.executable, lint, *sources], capture_output=True,
+               text=True)
+    assert r.returncode == 0, r.stderr
+
+    bad = tmp_path / "bad.cc"
+    bad.write_text("int f() {\n\treturn (int)strcpy(0, 0);   \n}")
+    r = sp.run([sys.executable, lint, str(bad)], capture_output=True,
+               text=True)
+    assert r.returncode == 1
+    assert "tab character" in r.stderr
+    assert "banned unsafe C function" in r.stderr
+    assert "trailing whitespace" in r.stderr
+    assert "missing newline at EOF" in r.stderr
+
+    bad_h = tmp_path / "bad.h"
+    bad_h.write_text("using namespace std;\nint x;\n")
+    r = sp.run([sys.executable, lint, str(bad_h)], capture_output=True,
+               text=True)
+    assert r.returncode == 1
+    assert "include guard" in r.stderr
+    assert "using namespace" in r.stderr

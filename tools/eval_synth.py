@@ -85,6 +85,16 @@ def main() -> int:
                     help="write a side-by-side strip (bilinear x4 | "
                     "model | ground truth, last frame of the first 3 "
                     "val sequences) to PATH")
+    ap.add_argument("--perceptual", action="store_true",
+                    help="also report VGG feature cosine distance vs "
+                    "ground truth (same net + layers as the GAN's "
+                    "perceptual loss, seed 0) -- the quality axis "
+                    "PSNR under-credits the adversarial stage on")
+    ap.add_argument("--pingpong", action="store_true",
+                    help="also report ping-pong temporal inconsistency "
+                    "(forward vs backward pass L1 over the ping-pong "
+                    "clip, the reference's own temporal criterion, "
+                    "keras_models.py:518-523)")
     args = ap.parse_args()
 
     import jax
@@ -180,6 +190,62 @@ def main() -> int:
     print(f"model    PSNR: {p_model:.2f} dB")
     print(f"bilinear PSNR: {p_bilinear:.2f} dB")
     print(f"margin: {p_model - p_bilinear:+.2f} dB")
+
+    if args.perceptual:
+        # Same fixed net the GAN perceptual loss trains against (the
+        # "vgg" registry model at seed 0 = fixed random features until
+        # ImageNet weights appear in the image; the comparison BETWEEN
+        # checkpoints is what matters).  Lower = closer to GT.
+        from joshupscale_tpu.training.losses import vgg_cosine_loss
+
+        vgg = create_models({"vgg": {"name": "vgg"}}, seed=0)["vgg"]
+
+        def vgg_dist(pred_u8, ref_u8):
+            import functools
+
+            @functools.partial(jax.jit)
+            def one(a, b):
+                fa = vgg.apply(vgg.params, a)
+                fb = vgg.apply(vgg.params, b)
+                return vgg_cosine_loss(fb, fa)
+
+            total = 0.0
+            frames_nt = pred_u8.reshape(-1, *pred_u8.shape[2:])
+            refs_nt = ref_u8.reshape(-1, *ref_u8.shape[2:])
+            chunk = 8
+            n = frames_nt.shape[0]
+            for i in range(0, n, chunk):
+                a = frames_nt[i:i + chunk].astype(np.float32) / 255 - .5
+                b = refs_nt[i:i + chunk].astype(np.float32) / 255 - .5
+                total += float(one(jnp.asarray(a), jnp.asarray(b))) \
+                    * a.shape[0]
+            return total / n
+
+        v_model = vgg_dist(outs[:, sl], hr[:, sl])
+        v_bilinear = vgg_dist(up_u8[:, sl], hr[:, sl])
+        print(f"model    VGG cosine distance: {v_model:.4f}")
+        print(f"bilinear VGG cosine distance: {v_bilinear:.4f}")
+        print(f"perceptual margin: {(v_bilinear - v_model) / v_bilinear:+.1%}"
+              " (lower distance is better)")
+
+    if args.pingpong:
+        # Reference temporal criterion: append the reversed clip and
+        # compare the forward pass at frame t with the backward pass at
+        # the same content frame (positions 2T-2-t).  A temporally
+        # consistent model produces the same frame either way; drift
+        # and flicker show up as L1 that PSNR cannot see.
+        eng.reset()
+        pp_clip = np.concatenate([clip, clip[-2::-1]], axis=0)
+        pp_outs = eng.process_clip(pp_clip)  # (2T-1, N, 4H, 4W, 3)
+        fwd = pp_outs[:t]
+        inconsist = []
+        for ti in range(2, t - 1):  # skip warm-up; t-1 is shared apex
+            back = pp_outs[2 * t - 2 - ti]
+            inconsist.append(np.mean(np.abs(
+                fwd[ti].astype(np.float32) - back.astype(np.float32))))
+        pp_l1 = float(np.mean(inconsist))
+        print(f"ping-pong inconsistency: {pp_l1:.3f} u8 steps "
+              f"(mean L1, frames 2..{t - 2} vs backward pass)")
 
     if args.save_png:
         import cv2
