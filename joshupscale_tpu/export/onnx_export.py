@@ -54,13 +54,35 @@ def _fold_conv_bn(conv: Dict[str, Any], bn: Dict[str, Any]):
 
 
 class _GraphBuilder:
-    def __init__(self):
+    def __init__(self, fp16: bool = False, int8_ranges=None):
         self.nodes: List[bytes] = []
         self.inits: List[bytes] = []
         self._n = 0
+        # fp16 deployment tier (reference onnx/quantize_fp16.py:62-75,
+        # convert_float_to_float16 with keep_io_types=False and no op
+        # block list): every f32 initializer and value becomes f16;
+        # Resize scales stay f32 (the reference fixes those back after
+        # conversion, :69-75).
+        self.fp16 = fp16
+        # int8 QDQ tier (reference onnx/quantize_int8.py:176-206):
+        # {conv dotted path: calibrated input absmax}.  Convs present
+        # get a per-tensor symmetric activation Q/DQ on their input and
+        # a per-channel symmetric weight Q/DQ pair (AddQDQPairToWeight
+        # semantics: the f32 weight stays in the file); everything else
+        # -- the bilinear-skip Resize, moving-avg nodes -- stays float,
+        # matching the reference's nodes_to_exclude.
+        self.int8_ranges = dict(int8_ranges or {})
 
-    def tensor(self, name: str, arr: np.ndarray) -> str:
-        self.inits.append(om.make_tensor(name, np.asarray(arr)))
+    @property
+    def float_type(self) -> int:
+        return om.FLOAT16 if self.fp16 else om.FLOAT
+
+    def tensor(self, name: str, arr: np.ndarray,
+               keep_f32: bool = False) -> str:
+        arr = np.asarray(arr)
+        if self.fp16 and arr.dtype == np.float32 and not keep_f32:
+            arr = arr.astype(np.float16)
+        self.inits.append(om.make_tensor(name, arr))
         return name
 
     def node(self, op: str, inputs, out: str = None, **attrs) -> str:
@@ -72,11 +94,41 @@ class _GraphBuilder:
                          **attrs))
         return out
 
+    def _qdq(self, x: str, scale: np.ndarray, name: str,
+             axis: int = None) -> str:
+        """Symmetric QuantizeLinear -> DequantizeLinear pair."""
+        scale = np.asarray(scale, np.float32)
+        s = self.tensor(f"{name}.scale", scale, keep_f32=True)
+        zp = self.tensor(f"{name}.zero_point",
+                         np.zeros(scale.shape, np.int8))
+        attrs = {} if axis is None else {"axis": axis}
+        q = self.node("QuantizeLinear", [x, s, zp], **attrs)
+        return self.node("DequantizeLinear", [q, s, zp], **attrs)
+
+    def _maybe_quantize(self, x: str, path: str, k_oihw: np.ndarray,
+                        w_channel_axis: int):
+        """int8 QDQ insertion for one conv: returns (x', weight name)."""
+        w_name = self.tensor(f"{path}.kernel", k_oihw)
+        absmax = self.int8_ranges.get(path)
+        if absmax is None:
+            return x, w_name
+        x = self._qdq(x, np.float32(max(absmax, 1e-12) / 127.0),
+                      f"{path}.act")
+        reduce_axes = tuple(i for i in range(k_oihw.ndim)
+                            if i != w_channel_axis)
+        w_absmax = np.abs(k_oihw).max(axis=reduce_axes)
+        w_scale = np.where(w_absmax > 0, w_absmax / 127.0,
+                           1.0).astype(np.float32)
+        w_name = self._qdq(w_name, w_scale, f"{path}.w",
+                           axis=w_channel_axis)
+        return x, w_name
+
     def conv(self, x: str, path: str, kernel_hwio: np.ndarray,
              bias: np.ndarray = None) -> str:
         k = np.transpose(kernel_hwio, (3, 2, 0, 1))  # HWIO -> OIHW
         kh, kw = k.shape[2], k.shape[3]
-        inputs = [x, self.tensor(f"{path}.kernel", k)]
+        x, w_name = self._maybe_quantize(x, path, _np(k), 0)
+        inputs = [x, w_name]
         if bias is not None:
             inputs.append(self.tensor(f"{path}.bias", _np(bias)))
         return self.node(
@@ -88,7 +140,8 @@ class _GraphBuilder:
                           bias: np.ndarray = None) -> str:
         # storage (2, 2, O, I) -> ONNX ConvTranspose weight (I, O, kH, kW)
         k = np.transpose(_np(kernel_kkoi), (3, 2, 0, 1))
-        inputs = [x, self.tensor(f"{path}.kernel", k)]
+        x, w_name = self._maybe_quantize(x, path, k, 1)  # O axis = 1
+        inputs = [x, w_name]
         if bias is not None:
             inputs.append(self.tensor(f"{path}.bias", _np(bias)))
         return self.node(
@@ -117,7 +170,9 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
                 frame_width: int, num_flow_frames: int = 4,
                 frame_moving_avg: Any = None,
                 output_flow: bool = False,
-                remove_flow: bool = False) -> None:
+                remove_flow: bool = False,
+                fp16: bool = False,
+                int8_ranges: Dict[str, float] = None) -> None:
     """Write the deployable ONNX graph for a resnet-flow + resnet-
     generator inference model (the reference's default architecture).
 
@@ -140,13 +195,22 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
       warp and all state I/O removed, generator first-conv kernel
       sliced to the 3 frame channels (reference onnx/remove_flow.py:
       64-77).
+
+    Quantization tiers: ``fp16=True`` (reference quantize_fp16.py) or
+    ``int8_ranges={conv path: calibrated input absmax}`` (reference
+    quantize_int8.py QDQ form; get the ranges from
+    ``export.quantize.calibrate``).  Mutually exclusive.
     """
+    if fp16 and int8_ranges:
+        raise ValueError("fp16 and int8_ranges are mutually exclusive")
     if remove_flow:
         if frame_moving_avg is not None or output_flow:
             raise ValueError(
                 "remove_flow excludes frame_moving_avg/output_flow "
                 "(there is no warp to blend or display)")
-        _export_remove_flow(path, params, frame_height, frame_width)
+        _export_remove_flow(path, params, frame_height,
+                            frame_width, fp16=fp16,
+                            int8_ranges=int8_ranges)
         return
     if frame_moving_avg is not None and output_flow:
         raise ValueError(
@@ -155,15 +219,15 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
     h, w = frame_height, frame_width
     hr_h, hr_w = h * 4, w * 4
     k = num_flow_frames - 1
-    g = _GraphBuilder()
+    g = _GraphBuilder(fp16, int8_ranges)
 
     # ---- inputs ------------------------------------------------------
-    inputs = [om.make_value_info("cur_frame", om.FLOAT, [1, h, w, 3])]
+    inputs = [om.make_value_info("cur_frame", g.float_type, [1, h, w, 3])]
     inputs.append(
-        om.make_value_info("pre_gen", om.FLOAT, [1, 3, hr_h, hr_w]))
+        om.make_value_info("pre_gen", g.float_type, [1, 3, hr_h, hr_w]))
     for i in range(k):
         inputs.append(
-            om.make_value_info(f"last_frame_{i}", om.FLOAT,
+            om.make_value_info(f"last_frame_{i}", g.float_type,
                                [1, 3, h, w]))
 
     # ---- preprocess (remove_uint8 keeps the scale arithmetic) --------
@@ -248,7 +312,8 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
         up = g.node(
             "Resize",
             [pre, "", g.tensor("up.scales",
-                               np.asarray([1, 1, 4, 4], np.float32))],
+                               np.asarray([1, 1, 4, 4], np.float32),
+                               keep_f32=True)],
             mode="linear", coordinate_transformation_mode="asymmetric")
         x = g.node("Add", [up, x])
         clipped = g.node(
@@ -269,12 +334,12 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
     for i in range(k - 1):
         g.node("Identity", [f"last_frame_{i}"], out=f"out_frame_{i + 1}")
 
-    outputs = [om.make_value_info("output", om.FLOAT,
+    outputs = [om.make_value_info("output", g.float_type,
                                   [1, hr_h, hr_w, 3]),
-               om.make_value_info("output_raw", om.FLOAT,
+               om.make_value_info("output_raw", g.float_type,
                                   [1, 3, hr_h, hr_w])]
     for i in range(k):
-        outputs.append(om.make_value_info(f"out_frame_{i}", om.FLOAT,
+        outputs.append(om.make_value_info(f"out_frame_{i}", g.float_type,
                                           [1, 3, h, w]))
 
     graph = om.make_graph("joshupscale", g.nodes, inputs, outputs,
@@ -358,7 +423,8 @@ def _emit_moving_avg(g: _GraphBuilder, clipped: str, pre_warp: str,
             "Resize",
             [cond, "", g.tensor(
                 "ma.mask_scales",
-                np.asarray([1, 1, win, win], np.float32))],
+                np.asarray([1, 1, win, win], np.float32),
+                keep_f32=True)],
             mode="linear", coordinate_transformation_mode="asymmetric")
         if any(p != 0 for pair in pads for p in pair):
             out_shape = [(d + win - 1) // win * win
@@ -395,16 +461,18 @@ def _emit_moving_avg(g: _GraphBuilder, clipped: str, pre_warp: str,
 
 
 def _export_remove_flow(path: str, params: Dict[str, Any],
-                        frame_height: int, frame_width: int) -> None:
+                        frame_height: int, frame_width: int,
+                        fp16: bool = False,
+                        int8_ranges: Dict[str, float] = None) -> None:
     """Non-temporal single-frame graph: flow net, warp and state I/O
     removed; the generator first conv keeps only the 3 frame input
     channels (reference onnx/remove_flow.py:64-77 slices the weights
     with ``weights[:, :3, :, :]`` after rewiring the concat away)."""
     h, w = frame_height, frame_width
     hr_h, hr_w = h * 4, w * 4
-    g = _GraphBuilder()
+    g = _GraphBuilder(fp16, int8_ranges)
 
-    inputs = [om.make_value_info("cur_frame", om.FLOAT, [1, h, w, 3])]
+    inputs = [om.make_value_info("cur_frame", g.float_type, [1, h, w, 3])]
     t_cur = g.node("Transpose", ["cur_frame"], perm=[0, 3, 1, 2])
     scale = g.tensor("pre.scale", np.float32(1.0 / 255.0))
     half = g.tensor("pre.half", np.float32(0.5))
@@ -431,7 +499,8 @@ def _export_remove_flow(path: str, params: Dict[str, Any],
     up = g.node(
         "Resize",
         [pre, "", g.tensor("up.scales",
-                           np.asarray([1, 1, 4, 4], np.float32))],
+                           np.asarray([1, 1, 4, 4], np.float32),
+                           keep_f32=True)],
         mode="linear", coordinate_transformation_mode="asymmetric")
     x = g.node("Add", [up, x])
     out_raw = g.node(
@@ -442,7 +511,7 @@ def _export_remove_flow(path: str, params: Dict[str, Any],
                           g.tensor("post.scale", np.float32(255.0))])
     g.node("Transpose", [post], perm=[0, 2, 3, 1], out="output")
 
-    outputs = [om.make_value_info("output", om.FLOAT,
+    outputs = [om.make_value_info("output", g.float_type,
                                   [1, hr_h, hr_w, 3])]
     graph = om.make_graph("joshupscale", g.nodes, inputs, outputs,
                           g.inits)

@@ -111,10 +111,23 @@ def _resize(x, scale_h, scale_w):
             + cc * wy * (1 - wx) + d * wy * wx).astype(np.float32)
 
 
+def model_float_dtype(model: Dict[str, Any]) -> np.dtype:
+    """f16 for an fp16-quantized export (quantize_fp16 tier), else f32.
+    Detected from the initializers (weights carry the compute dtype)."""
+    for v in model["initializers"].values():
+        if v.dtype == np.float16:
+            return np.dtype(np.float16)
+    return np.dtype(np.float32)
+
+
 def run_graph(model: Dict[str, Any],
               feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Execute a decoded model (see ``onnx_minimal.decode_model``) on a
-    dict of input arrays; returns the graph outputs by name."""
+    dict of input arrays; returns the graph outputs by name.
+
+    fp16 graphs execute with float16 node results (emulating the
+    deployment runtime's half-precision storage between ops)."""
+    fdt = model_float_dtype(model)
     env = dict(model["initializers"])
     env.update(feeds)
     for node in model["nodes"]:
@@ -175,10 +188,32 @@ def run_graph(model: Dict[str, Any],
         elif op == "ReduceMean":
             # Default attrs (the only form emitted): all axes, keepdims.
             r = np.mean(i[0], keepdims=True)
+        elif op == "QuantizeLinear":
+            scale = _qdq_scale(i[1], i[0].ndim, a.get("axis"))
+            # ONNX rounds half to even (np.round semantics).
+            r = np.clip(np.round(i[0].astype(np.float32) / scale),
+                        -128, 127).astype(np.int8)
+        elif op == "DequantizeLinear":
+            scale = _qdq_scale(i[1], i[0].ndim, a.get("axis"))
+            r = i[0].astype(np.float32) * scale
         else:
             raise NotImplementedError(op)
-        env[node["outputs"][0]] = np.asarray(r, np.float32)
+        if np.asarray(r).dtype == np.int8:
+            env[node["outputs"][0]] = np.asarray(r)  # quantized edge
+        else:
+            env[node["outputs"][0]] = np.asarray(r, fdt)
     return {o["name"]: env[o["name"]] for o in model["outputs"]}
+
+
+def _qdq_scale(scale, ndim, axis):
+    """Broadcast a Quantize/DequantizeLinear scale: scalar per-tensor,
+    or 1-D per-channel along ``axis``."""
+    scale = np.asarray(scale, np.float32)
+    if scale.ndim == 0 or scale.size == 1:
+        return scale.reshape(())
+    shape = [1] * ndim
+    shape[axis] = scale.size
+    return scale.reshape(shape)
 
 
 class OnnxClipRunner:
@@ -201,6 +236,7 @@ class OnnxClipRunner:
         self.h, self.w = height, width
         self.num_last = 0 if stateless else num_flow_frames - 1
         self.stateless = stateless
+        self.dtype = model_float_dtype(self.model)
         self.reset()
 
     def reset(self) -> None:
@@ -209,15 +245,15 @@ class OnnxClipRunner:
             return
         self.feeds = {
             "pre_gen": np.zeros((1, 3, 4 * self.h, 4 * self.w),
-                                np.float32),
+                                self.dtype),
             **{f"last_frame_{i}": np.zeros((1, 3, self.h, self.w),
-                                           np.float32)
+                                           self.dtype)
                for i in range(self.num_last)},
         }
 
     def process(self, frame: np.ndarray) -> np.ndarray:
         """One recurrent step: (H, W, 3) u8 -> (4H, 4W, 3) u8."""
-        self.feeds["cur_frame"] = frame[None].astype(np.float32)
+        self.feeds["cur_frame"] = frame[None].astype(self.dtype)
         outs = run_graph(self.model, self.feeds)
         if not self.stateless:
             self.feeds["pre_gen"] = outs["output_raw"]

@@ -326,6 +326,15 @@ def _export(export_cfg, config, models, built, state) -> None:
                             output_flow=m.output_flow,
                             remove_flow=m.remove_flow)
                 print(f"exported ONNX graph to {onnx_path}")
+                if export_cfg.get("onnx_fp16"):
+                    fp16_path = os.path.join(out_dir, "model_fp16.onnx")
+                    export_onnx(fp16_path, inference.params,
+                                m.frame_height, m.frame_width,
+                                num_flow_frames=m.num_flow_frames,
+                                frame_moving_avg=m.frame_moving_avg,
+                                output_flow=m.output_flow,
+                                remove_flow=m.remove_flow, fp16=True)
+                    print(f"exported fp16 ONNX graph to {fp16_path}")
             except (KeyError, NotImplementedError) as exc:
                 print(f"ONNX export skipped (unsupported arch): {exc}")
 

@@ -300,3 +300,89 @@ def test_variant_export_rejects_contradictory_options(built_model,
         export_onnx(str(tmp_path / "x.onnx"), built_model.params, H, W,
                     output_flow=True,
                     frame_moving_avg={"strength": 0.5})
+
+
+def test_fp16_export_quality_and_structure(built_model, tmp_path):
+    """fp16 deployment tier (reference onnx/quantize_fp16.py:62-75):
+    every float initializer/value becomes f16 except Resize scales
+    (which the reference fixes back to f32); the interpreted fp16 graph
+    must track the f32 graph within a small u8 tolerance over a
+    recurrent clip (the deployable artifact's quality cost, bounded)."""
+    from joshupscale_tpu.export.onnx_interp import OnnxClipRunner
+
+    p32 = str(tmp_path / "m32.onnx")
+    p16 = str(tmp_path / "m16.onnx")
+    export_onnx(p32, built_model.params, H, W)
+    export_onnx(p16, built_model.params, H, W, fp16=True)
+
+    m16 = om.decode_model(open(p16, "rb").read())
+    dtypes = {k: v.dtype for k, v in m16["initializers"].items()}
+    assert dtypes["flow.conv_1.kernel"] == np.float16
+    assert dtypes["up.scales"] == np.float32  # Resize scales stay f32
+    assert all(dt != np.float32 or k == "up.scales"
+               for k, dt in dtypes.items() if dt in
+               (np.float32, np.float16) and "sl_" not in k), dtypes
+
+    r32 = OnnxClipRunner(p32, H, W)
+    r16 = OnnxClipRunner(p16, H, W)
+    rng = np.random.default_rng(23)
+    worst = 0
+    for t in range(4):
+        frame = rng.integers(0, 256, (H, W, 3), np.uint8)
+        a = r32.process(frame)
+        b = r16.process(frame)
+        worst = max(worst, int(np.abs(a.astype(int)
+                                      - b.astype(int)).max()))
+    # Half precision on a [0,255] signal: a few u8 steps of drift over
+    # a recurrent clip is the expected deployment cost; more means a
+    # conversion bug.
+    assert worst <= 4, worst
+
+
+def test_int8_qdq_export_quality_and_structure(built_model, tmp_path):
+    """int8 QDQ deployment tier (reference onnx/quantize_int8.py:
+    176-206): per-tensor symmetric activation Q/DQ at each calibrated
+    conv input, per-channel symmetric weight Q/DQ with the f32 weight
+    kept in-file (AddQDQPairToWeight semantics); non-conv nodes (the
+    bilinear-skip Resize) stay float like the reference's
+    nodes_to_exclude.  Fidelity: the interpreted QDQ graph tracks the
+    f32 graph within 2 u8 steps over a recurrent clip."""
+    from joshupscale_tpu.export.onnx_interp import OnnxClipRunner
+    from joshupscale_tpu.export.quantize import calibrate
+
+    rng = np.random.default_rng(29)
+    cal = jnp.asarray(rng.integers(0, 256, (4, 1, H, W, 3), np.uint8))
+    ranges = calibrate(built_model.obj, built_model.params, cal)
+    assert "flow.conv_1" in ranges and len(ranges) > 8
+
+    p32 = str(tmp_path / "m32.onnx")
+    p8 = str(tmp_path / "m8.onnx")
+    export_onnx(p32, built_model.params, H, W)
+    export_onnx(p8, built_model.params, H, W, int8_ranges=ranges)
+
+    m8 = om.decode_model(open(p8, "rb").read())
+    ops = [n["op_type"] for n in m8["nodes"]]
+    # One activation pair + one weight pair per calibrated conv.
+    assert ops.count("QuantizeLinear") == 2 * len(ranges)
+    assert ops.count("DequantizeLinear") == 2 * len(ranges)
+    inits = m8["initializers"]
+    assert inits["flow.conv_1.kernel"].dtype == np.float32  # kept f32
+    assert inits["flow.conv_1.w.zero_point"].dtype == np.int8
+    # Per-channel weight scale: one per output channel.
+    assert inits["flow.conv_1.w.scale"].shape == (FILTERS,)
+    assert inits["flow.conv_1.act.scale"].size == 1
+
+    r32 = OnnxClipRunner(p32, H, W)
+    r8 = OnnxClipRunner(p8, H, W)
+    worst = 0
+    for t in range(4):
+        frame = rng.integers(0, 256, (H, W, 3), np.uint8)
+        a = r32.process(frame)
+        b = r8.process(frame)
+        worst = max(worst, int(np.abs(a.astype(int)
+                                      - b.astype(int)).max()))
+    assert worst <= 2, worst
+
+    with pytest.raises(ValueError):
+        export_onnx(str(tmp_path / "x.onnx"), built_model.params, H, W,
+                    fp16=True, int8_ranges=ranges)
