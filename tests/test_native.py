@@ -347,3 +347,53 @@ def test_native_lint_gate(tmp_path):
     assert r.returncode == 1
     assert "include guard" in r.stderr
     assert "using namespace" in r.stderr
+
+
+@needs_toolchain
+@pytest.mark.skipif(
+    os.environ.get("JOSHUPSCALE_TPU_TESTS") != "1",
+    reason="real-TPU PJRT test: set JOSHUPSCALE_TPU_TESTS=1 (needs a "
+    "healthy axon tunnel; a wedged tunnel hangs the plugin)",
+)
+def test_pjrt_backend_real_tpu(pjrt_package, tmp_path):
+    """upscale_cli through the REAL axon PJRT plugin on the TPU chip,
+    cross-checked against the Python engine on the same chip.  Gated
+    behind JOSHUPSCALE_TPU_TESTS=1 because a wedged tunnel hangs
+    PJRT_Client_Create with no recourse; tools/run_native_tpu.py runs
+    the same path at full resolution for BASELINE.md."""
+    _build()
+    pkg_path, built = pjrt_package
+
+    from tools.make_axon_pjrt_options import write_options
+
+    opts = str(tmp_path / "axon_opts.txt")
+    extra_env = write_options(opts)
+    env = dict(os.environ, **extra_env)
+    env["JOSHUPSCALE_PJRT_PLUGIN"] = "/opt/axon/libaxon_pjrt.so"
+    env["JOSHUPSCALE_PJRT_OPTIONS"] = opts
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    H, W = 16, 24
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 256, (3, H, W, 3), np.uint8)
+    in_raw = tmp_path / "in.raw"
+    out_raw = tmp_path / "out.raw"
+    frames.tofile(in_raw)
+    result = subprocess.run(
+        [CLI, pkg_path, str(in_raw), str(out_raw)],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert result.returncode == 0, result.stderr
+    out = np.fromfile(out_raw, np.uint8).reshape(3, 4 * H, 4 * W, 3)
+
+    from joshupscale_tpu.runtime.engine import Engine
+
+    eng = Engine(built.obj, built.params)  # default platform = TPU
+    worst = 0
+    for t in range(3):
+        ref = eng.process(frames[t])
+        worst = max(worst, int(np.abs(ref.astype(int)
+                                      - out[t].astype(int)).max()))
+    # Same chip, same program source; tiny divergence can come from the
+    # separately-exported StableHLO vs the live-jitted graph.
+    assert worst <= 1, worst
