@@ -112,16 +112,55 @@ def _probe_backend(timeout_s=90):
     return None
 
 
+def _error_line(err: str) -> None:
+    print(json.dumps({
+        "metric": "fps_480x270_to_1080p_quality_stream",
+        "value": None, "unit": "fps", "vs_baseline": None,
+        "error": err,
+    }))
+
+
 def main():
+    if "--child" not in sys.argv:
+        return _watchdog()
+    return _measure()
+
+
+def _watchdog(timeout_s: int = 2400) -> int:
+    """Run the measurement in a CHILD process under a hard timeout.
+
+    The probe catches a tunnel that is already down, but a remote
+    compile/execute can also wedge MID-RUN with no Python-level way to
+    interrupt the blocked C call -- process isolation is the only
+    reliable bound.  Whatever happens, the driver gets ONE JSON line.
+    """
+    import subprocess
+
     err = _probe_backend()
     if err is not None:
-        print(json.dumps({
-            "metric": "fps_480x270_to_1080p_quality_stream",
-            "value": None, "unit": "fps", "vs_baseline": None,
-            "error": err,
-        }))
+        _error_line(err)
         return 1
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--child"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        _error_line(f"measurement hung >{timeout_s}s "
+                    "(remote compile/execute wedged?)")
+        return 1
+    line = next((ln for ln in r.stdout.strip().splitlines()[::-1]
+                 if ln.startswith("{")), None)
+    if line is not None:
+        print(line)
+        return r.returncode
+    tail = (r.stderr or r.stdout).strip().splitlines()
+    _error_line("measurement child produced no JSON: "
+                + (tail[-1][:400] if tail else "?"))
+    return 1
 
+
+def _measure():
     import jax
 
     from joshupscale_tpu.models import create_models
