@@ -397,3 +397,41 @@ def test_pjrt_backend_real_tpu(pjrt_package, tmp_path):
     # Same chip, same program source; tiny divergence can come from the
     # separately-exported StableHLO vs the live-jitted graph.
     assert worst <= 1, worst
+
+
+@needs_toolchain
+def test_cmake_package_export(tmp_path):
+    """A downstream C++ host builds against the INSTALLED package via
+    find_package(JoshUpscale) + JoshUpscale::core (the analog of the
+    reference's JoshUpscaleConfig.cmake.in packaging)."""
+    _build()
+    prefix = tmp_path / "prefix"
+    subprocess.run(
+        ["cmake", "--install", BUILD, "--prefix", str(prefix)],
+        check=True, capture_output=True)
+    assert (prefix / "lib" / "cmake" / "JoshUpscale"
+            / "JoshUpscaleConfig.cmake").exists()
+
+    consumer = tmp_path / "consumer"
+    consumer.mkdir()
+    (consumer / "CMakeLists.txt").write_text(
+        "cmake_minimum_required(VERSION 3.18)\n"
+        "project(consumer CXX)\n"
+        "set(CMAKE_CXX_STANDARD 17)\n"
+        "find_package(JoshUpscale REQUIRED)\n"
+        "add_executable(consumer main.cc)\n"
+        "target_link_libraries(consumer PRIVATE JoshUpscale::core)\n")
+    (consumer / "main.cc").write_text(
+        "#include <joshupscale/core.h>\n"
+        "int main() { return JoshUpscale::core::createRuntime "
+        "!= nullptr ? 0 : 1; }\n")
+    build = consumer / "build"
+    subprocess.run(
+        ["cmake", "-S", str(consumer), "-B", str(build),
+         f"-DCMAKE_PREFIX_PATH={prefix}"],
+        check=True, capture_output=True)
+    subprocess.run(["cmake", "--build", str(build)], check=True,
+                   capture_output=True)
+    r = subprocess.run([str(build / "consumer")], env=_subprocess_env(),
+                       capture_output=True, timeout=120)
+    assert r.returncode == 0
