@@ -223,16 +223,20 @@ class OnnxClipRunner:
     frames and zero-initialized at construction/reset."""
 
     def __init__(self, path_or_model, height: int, width: int,
-                 num_flow_frames: int = 4, stateless: bool = False
-                 ) -> None:
+                 num_flow_frames: int = 4, stateless: bool = False,
+                 executor=None) -> None:
         """``stateless=True`` drives a remove_flow graph (single frame
-        in, single frame out, no recurrent feeds)."""
+        in, single frame out, no recurrent feeds).  ``executor``
+        defaults to the numpy interpreter (``run_graph``); pass
+        ``onnx_torch.run_graph_torch`` to drive the same loop through
+        torch's op implementations (an independent oracle)."""
         if isinstance(path_or_model, (str, bytes)):
             from joshupscale_tpu.export import onnx_minimal as om
 
             with open(path_or_model, "rb") as f:
                 path_or_model = om.decode_model(f.read())
         self.model = path_or_model
+        self._run = executor if executor is not None else run_graph
         self.h, self.w = height, width
         self.num_last = 0 if stateless else num_flow_frames - 1
         self.stateless = stateless
@@ -254,7 +258,7 @@ class OnnxClipRunner:
     def process(self, frame: np.ndarray) -> np.ndarray:
         """One recurrent step: (H, W, 3) u8 -> (4H, 4W, 3) u8."""
         self.feeds["cur_frame"] = frame[None].astype(self.dtype)
-        outs = run_graph(self.model, self.feeds)
+        outs = self._run(self.model, self.feeds)
         if not self.stateless:
             self.feeds["pre_gen"] = outs["output_raw"]
             for i in range(self.num_last):
