@@ -149,11 +149,18 @@ def _encode_feature(values: FeatureValue,
     return _len_field(3, _len_field(1, body))  # Feature.int64_list
 
 
-def encode_example(features: Dict[str, FeatureValue]) -> bytes:
-    """Serialize a tf.train.Example (bytes/float/int64 lists by type)."""
+def encode_example(features: Dict[str, FeatureValue],
+                   kinds: Optional[Dict[str, str]] = None) -> bytes:
+    """Serialize a tf.train.Example (bytes/float/int64 lists by type).
+
+    ``kinds``: optional per-key 'bytes'/'float'/'int64' override --
+    the only way to give an EMPTY list the right oneof (an empty list
+    with no hint encodes as int64_list, which a consumer parsing a
+    string/float feature rejects)."""
     entries = b""
     for key, values in features.items():
-        entry = _str_field(1, key) + _len_field(2, _encode_feature(values))
+        feat = _encode_feature(values, (kinds or {}).get(key))
+        entry = _str_field(1, key) + _len_field(2, feat)
         entries += _len_field(1, entry)  # Features.feature map entry
     return _len_field(1, entries)  # Example.features
 

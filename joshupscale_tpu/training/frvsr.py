@@ -42,10 +42,14 @@ def preprocess_batch(x: jnp.ndarray) -> jnp.ndarray:
     ``training.trainer.device_normalize`` (fit() and the tools already
     do).  On CPU the in-graph convert is safe and stays available so
     the u8==f32 equivalence tests can pin the semantics device_normalize
-    must match.
+    must match.  EAGER u8 input (a concrete array, e.g. the play
+    callback normalizing its fixed batch once at startup) is safe on
+    every backend -- the convert runs as its own tiny program, exactly
+    like device_normalize -- so the guard only fires on tracers.
     """
     if x.dtype == jnp.uint8:
-        if jax.default_backend() != "cpu":
+        if (isinstance(x, jax.core.Tracer)
+                and jax.default_backend() != "cpu"):
             raise TypeError(
                 "uint8 batch reached a jitted train-step graph on a "
                 f"'{jax.default_backend()}' backend; in-graph u8 "

@@ -169,6 +169,22 @@ Fn *requireFn(const PJRT_Api *api, Fn *fn, std::size_t offset,
 PjrtEngine::PjrtEngine(const std::string &pluginPath,
                        const std::string &modelPath, int deviceId,
                        const std::string &optionsPath) {
+  // The destructor does not run for a partially constructed object, so
+  // any throw below (bad device id, compile error, version mismatch)
+  // must release what was already acquired -- otherwise a host app
+  // retrying createRuntime leaks live PJRT clients (which can keep the
+  // device session pinned).
+  try {
+    construct(pluginPath, modelPath, deviceId, optionsPath);
+  } catch (...) {
+    cleanup();
+    throw;
+  }
+}
+
+void PjrtEngine::construct(const std::string &pluginPath,
+                           const std::string &modelPath, int deviceId,
+                           const std::string &optionsPath) {
   m_spec = parseStepSpec(modelPath + "/step_spec.txt");
   if (m_spec.inputs[0].byteSize() !=
       m_spec.frameHeight * m_spec.frameWidth * 3) {
@@ -292,7 +308,13 @@ PjrtEngine::PjrtEngine(const std::string &pluginPath,
                        << outputHeight() << ')';
 }
 
-PjrtEngine::~PjrtEngine() {
+PjrtEngine::~PjrtEngine() { cleanup(); }
+
+// Also runs from the constructor's failure path (the destructor never
+// runs for a partially constructed object): every member it touches is
+// null until the corresponding acquisition succeeds, so it is safe at
+// any point of construction.
+void PjrtEngine::cleanup() noexcept {
   destroyState();
   if (m_exe != nullptr) {
     PJRT_LoadedExecutable_Destroy_Args args;

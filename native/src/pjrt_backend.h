@@ -64,10 +64,14 @@ class PjrtEngine final : public Backend {
   }
 
  private:
+  void construct(const std::string &pluginPath,
+                 const std::string &modelPath, int deviceId,
+                 const std::string &optionsPath);
   void check(void *error, const char *what) const;
   PJRT_Buffer *bufferFromHost(const void *data, const TensorSpec &t);
   void initState();
   void destroyState() noexcept;
+  void cleanup() noexcept;
   void destroyBuffer(PJRT_Buffer *buffer) const noexcept;
 
   void *m_dl = nullptr;

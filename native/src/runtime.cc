@@ -69,6 +69,16 @@ std::unique_ptr<Backend> createBackend(int deviceId,
         plugin, modelPath, deviceId,
         options != nullptr ? std::string(options) : std::string());
   }
+#else
+  // Never fall back silently: a user asking for the Python-free path
+  // must not get the embedded interpreter without an error.
+  if (const char *plugin = std::getenv("JOSHUPSCALE_PJRT_PLUGIN");
+      plugin != nullptr && plugin[0] != '\0') {
+    throw std::runtime_error(
+        "JOSHUPSCALE_PJRT_PLUGIN is set but this build has no PJRT "
+        "backend (xla/pjrt/c/pjrt_c_api.h was not found at configure "
+        "time)");
+  }
 #endif
   return std::make_unique<PythonEngine>(deviceId, modelPath);
 }

@@ -54,6 +54,10 @@ struct Buffer {
 struct Client {
   StepSpec spec;
   int fakeDevice = 0;  // PJRT_Device* points here
+  // Per-client device list: a function-local static in
+  // AddressableDevices would cache the FIRST client's pointer and
+  // hand later clients a stale/dangling device.
+  PJRT_Device *devices[1] = {nullptr};
 };
 
 struct Executable {
@@ -133,10 +137,11 @@ PJRT_Error *clientDestroy(PJRT_Client_Destroy_Args *args) {
 
 PJRT_Error *clientAddressableDevices(
     PJRT_Client_AddressableDevices_Args *args) {
-  // One fake device; the pointer just needs to be stable and non-null.
-  static PJRT_Device *const kDevices[] = {
-      reinterpret_cast<PJRT_Device *>(&args->client->impl.fakeDevice)};
-  args->addressable_devices = kDevices;
+  // One fake device per client; the pointer just needs to be stable
+  // (for the client's lifetime) and non-null.
+  auto &impl = args->client->impl;
+  impl.devices[0] = reinterpret_cast<PJRT_Device *>(&impl.fakeDevice);
+  args->addressable_devices = impl.devices;
   args->num_addressable_devices = 1;
   return nullptr;
 }

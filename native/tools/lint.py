@@ -33,7 +33,7 @@ def guard_name(path: str) -> str:
     # native/include/joshupscale/core.h -> JOSHUPSCALE_CORE_H_ (public
     # headers drop the include/joshupscale prefix, matching the
     # existing convention).
-    rel = path.replace("\\", "/")
+    rel = os.path.abspath(path).replace("\\", "/")
     if "/include/joshupscale/" in rel:
         tail = rel.split("/include/joshupscale/")[-1]
     elif "/native/" in rel:
@@ -42,6 +42,42 @@ def guard_name(path: str) -> str:
         tail = os.path.basename(rel)
     token = re.sub(r"[^A-Za-z0-9]", "_", tail).upper()
     return GUARD_TEMPLATE.format(path=token)
+
+
+def _strip_code(line: str, in_block: bool):
+    """Remove comments and string/char literal contents from one line,
+    returning (code, still_in_block).  A real scanner, not substring
+    heuristics: a ``/*`` inside a ``//`` comment or a string literal
+    must NOT latch block-comment state (which would silently disable
+    every following banned-function check)."""
+    out = []
+    i, n = 0, len(line)
+    while i < n:
+        if in_block:
+            j = line.find("*/", i)
+            if j < 0:
+                return "".join(out), True
+            i = j + 2
+            in_block = False
+            continue
+        c = line[i]
+        if c in "\"'":
+            quote = c
+            i += 1
+            while i < n and line[i] != quote:
+                i += 2 if line[i] == "\\" else 1
+            i += 1  # past the closing quote (or EOL)
+            out.append(quote + quote)  # keep an empty literal
+            continue
+        if line.startswith("//", i):
+            break
+        if line.startswith("/*", i):
+            in_block = True
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out), in_block
 
 
 def lint_file(path: str) -> list:
@@ -60,17 +96,7 @@ def lint_file(path: str) -> list:
             errors.append((n, "tab character"))
         if line != line.rstrip():
             errors.append((n, "trailing whitespace"))
-        stripped = line.strip()
-        code = stripped
-        if in_block_comment:
-            if "*/" in code:
-                in_block_comment = False
-                code = code.split("*/", 1)[1]
-            else:
-                continue
-        if "/*" in code and "*/" not in code:
-            in_block_comment = True
-        code = code.split("//", 1)[0]
+        code, in_block_comment = _strip_code(line, in_block_comment)
         if BANNED.search(code):
             errors.append((n, "banned unsafe C function"))
     if path.endswith(".h"):

@@ -292,6 +292,32 @@ def test_pjrt_backend_mock_plugin_end_to_end(pjrt_package, tmp_path):
 
 
 @needs_toolchain
+def test_pjrt_backend_retry_and_multi_client(pjrt_package):
+    """Constructor-failure cleanup + retry + a second client in one
+    process (native/tests/test_pjrt_retry.cc): an out-of-range device
+    must throw without leaking the dlopen handle/client (the destructor
+    never runs for a partially constructed engine), a retry must
+    succeed, and a re-created runtime must get a per-client device
+    list from the plugin (not a stale function-local static)."""
+    _build()
+    if not _mock_pjrt_available():
+        pytest.skip("PJRT C API header absent; backend not built")
+    pkg_path, _ = pjrt_package
+
+    env = _subprocess_env()
+    env["JOSHUPSCALE_PJRT_PLUGIN"] = os.path.join(
+        BUILD, "libmock_pjrt.so")
+    env["MOCK_PJRT_SPEC"] = os.path.join(pkg_path, "step_spec.txt")
+    result = subprocess.run(
+        [os.path.join(BUILD, "test_pjrt_retry"), pkg_path],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert result.returncode == 0, result.stderr + result.stdout
+    assert "pjrt retry/multi-client OK" in result.stdout
+    assert "expected failure" in result.stderr
+
+
+@needs_toolchain
 def test_pjrt_backend_requires_serving_artifacts(package, tmp_path):
     """JOSHUPSCALE_PJRT_PLUGIN against a package without step.mlir must
     fail with an actionable message, not fall back silently."""
@@ -347,6 +373,22 @@ def test_native_lint_gate(tmp_path):
     assert r.returncode == 1
     assert "include guard" in r.stderr
     assert "using namespace" in r.stderr
+
+    # A '/*' inside a // comment or a string literal must NOT latch
+    # block-comment state (which would skip every later banned-fn
+    # check); a banned call in a real comment must NOT fire.
+    tricky = tmp_path / "tricky.cc"
+    tricky.write_text(
+        "// see the /* glob pattern\n"
+        "const char *p = \"/*\";\n"
+        "int f() { return (int)strcpy(0, 0); }\n"
+        "/* strcpy(a, b) in a comment is fine */\n"
+        "int g();\n")
+    r = sp.run([sys.executable, lint, str(tricky)], capture_output=True,
+               text=True)
+    assert r.returncode == 1
+    assert r.stderr.count("banned unsafe C function") == 1
+    assert "tricky.cc:3" in r.stderr
 
 
 @needs_toolchain

@@ -61,6 +61,29 @@ def test_example_roundtrip():
     assert out["i"] == feats["i"]
 
 
+def test_example_empty_list_kinds():
+    """Empty lists need an explicit kind to land in the right oneof
+    (tf.io parsing rejects a string feature that arrives as an
+    int64_list); numpy scalar values must dispatch by dtype, not
+    Python type."""
+    buf = tfr.encode_example(
+        {"b": [], "f": [], "i": [], "nf": [np.float32(1.5)],
+         "ni": [np.int64(7)]},
+        kinds={"b": "bytes", "f": "float"})
+    out = tfr.decode_example(buf)
+    assert out["b"] == []
+    np.testing.assert_array_equal(out["f"], [])
+    assert out["i"] == []
+    np.testing.assert_array_equal(out["nf"], [1.5])
+    assert out["ni"] == [7]
+    if tf is not None:
+        ex = tf.train.Example()
+        ex.ParseFromString(buf)
+        assert ex.features.feature["b"].WhichOneof("kind") == "bytes_list"
+        assert ex.features.feature["f"].WhichOneof("kind") == "float_list"
+        assert ex.features.feature["nf"].WhichOneof("kind") == "float_list"
+
+
 def test_parse_fixed_len_validates():
     buf = tfr.encode_example({"images": [b"a", b"b"]})
     assert tfr.parse_fixed_len(buf, {"images": 2})["images"] == [b"a", b"b"]

@@ -482,6 +482,26 @@ def test_fit_normalizes_u8_outside_step(rng):
             assert dt == jnp.float32, dt
 
 
+def test_u8_guard_fires_only_on_traced_batches(rng, monkeypatch):
+    """The TPU u8 hazard guard (preprocess_batch) must reject a uint8
+    TRACER on a non-CPU backend (the graph that hangs the XLA:TPU
+    worker) but pass EAGER u8 arrays -- an eager convert runs as its
+    own tiny program, exactly like device_normalize (the play callback
+    normalizes its fixed batch this way at startup)."""
+    from joshupscale_tpu.training import frvsr
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    u8 = jnp.asarray(rng.integers(0, 256, (2, 3), dtype=np.uint8))
+
+    out = frvsr.preprocess_batch(u8)  # eager: allowed on any backend
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(u8).astype(np.float32) / 255 - 0.5,
+        rtol=0, atol=1e-7)
+
+    with pytest.raises(TypeError, match="uint8 batch"):
+        jax.jit(frvsr.preprocess_batch)(u8)  # traced: the hazard
+
+
 def test_device_normalize_values_and_passthrough(rng):
     from joshupscale_tpu.training.trainer import device_normalize
 

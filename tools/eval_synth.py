@@ -200,15 +200,16 @@ def main() -> int:
 
         vgg = create_models({"vgg": {"name": "vgg"}}, seed=0)["vgg"]
 
+        # Jitted ONCE at this scope: defining it inside vgg_dist would
+        # miss jax.jit's cache on the second call (fresh function
+        # object) and re-trace/compile the whole VGG forward.
+        @jax.jit
+        def one(a, b):
+            fa = vgg.apply(vgg.params, a)
+            fb = vgg.apply(vgg.params, b)
+            return vgg_cosine_loss(fb, fa)
+
         def vgg_dist(pred_u8, ref_u8):
-            import functools
-
-            @functools.partial(jax.jit)
-            def one(a, b):
-                fa = vgg.apply(vgg.params, a)
-                fb = vgg.apply(vgg.params, b)
-                return vgg_cosine_loss(fb, fa)
-
             total = 0.0
             frames_nt = pred_u8.reshape(-1, *pred_u8.shape[2:])
             refs_nt = ref_u8.reshape(-1, *ref_u8.shape[2:])
