@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 EPSILON = 1e-7  # keras.config.epsilon()
@@ -94,15 +95,21 @@ def vgg_cosine_loss(
     real_feats: Sequence[jnp.ndarray],
     fake_feats: Sequence[jnp.ndarray],
 ) -> jnp.ndarray:
-    """Sum over layers of (1 - mean cosine similarity)."""
+    """Sum over layers of (1 - mean cosine similarity).
+
+    Normalization is exactly ``tf.math.l2_normalize(x, epsilon=1e-7)``
+    (reference keras_models.py:586-592): ``x * rsqrt(max(sum(x^2),
+    eps))`` -- the epsilon clamps the SQUARED norm inside the rsqrt,
+    not the norm itself (the two differ by ~3x on near-zero feature
+    rows, where the gradient direction matters most)."""
     total = 0.0
     for real, fake in zip(real_feats, fake_feats):
         r = _f32(real)
         f = _f32(fake)
-        r = r / jnp.maximum(
-            jnp.linalg.norm(r, axis=-1, keepdims=True), EPSILON)
-        f = f / jnp.maximum(
-            jnp.linalg.norm(f, axis=-1, keepdims=True), EPSILON)
+        r = r * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(jnp.square(r), axis=-1, keepdims=True), EPSILON))
+        f = f * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(jnp.square(f), axis=-1, keepdims=True), EPSILON))
         cos = jnp.sum(r * f, axis=-1)
         total = total + (1.0 - jnp.mean(cos))
     return total
