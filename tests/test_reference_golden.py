@@ -261,3 +261,49 @@ def test_reference_golden_autoencoder_brightness_pad(
     diff = np.abs(ours.astype(np.int32) - ref_outs.astype(np.int32))
     assert diff.mean() / 255.0 < 1e-3
     assert diff.max() <= 1, f"max u8 step {diff.max()}"
+
+
+def test_discriminator_golden_vs_reference_factory(ref_models_mod):
+    """The spatio-temporal discriminator vs the reference's OWN
+    ``get_discriminator`` (models.py:598-677): weights copied straight
+    out of the reference-built Keras layers into our param tree, all
+    five outputs (four feature-matching taps + patch logits) compared.
+    Stronger than the hand-rebuilt oracle in test_model_parity: the
+    network here is the reference's own construction (its activation
+    resolution, its SAME-padding strides, its tap placement)."""
+    from joshupscale_tpu.models.discriminator import (
+        discriminator_apply,
+        discriminator_init,
+    )
+
+    crop, alpha = 8, 0.25
+    ref = ref_models_mod.get_discriminator(crop_size=crop, alpha=alpha)
+    _randomize(ref, np.random.default_rng(77))
+
+    params = discriminator_init(jax.random.PRNGKey(0), alpha=alpha)
+    k, b = ref.get_layer("conv_1").get_weights()
+    params["conv_1"] = {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
+    for i in range(1, 5):
+        (ck,) = ref.get_layer(f"block_{i}_conv").get_weights()
+        gamma, beta, mean, var = ref.get_layer(
+            f"block_{i}_bn").get_weights()
+        params[f"block_{i}"] = {
+            "conv": {"kernel": jnp.asarray(ck)},
+            "bn": {"gamma": jnp.asarray(gamma),
+                   "beta": jnp.asarray(beta),
+                   "moving_mean": jnp.asarray(mean),
+                   "moving_variance": jnp.asarray(var)},
+        }
+    dk, db = ref.get_layer("dense").get_weights()
+    params["dense"] = {"kernel": jnp.asarray(dk), "bias": jnp.asarray(db)}
+
+    rng = np.random.default_rng(78)
+    x = (rng.standard_normal((2, crop * 4, crop * 4, 27)) * 0.3
+         ).astype(np.float32)
+    ours = discriminator_apply(params, jnp.asarray(x))
+    refs = ref(tf.constant(x), training=False)
+    assert len(ours) == len(refs) == 5
+    for j, (o, r) in enumerate(zip(ours, refs)):
+        np.testing.assert_allclose(
+            np.asarray(o), r.numpy(), atol=1e-5, rtol=1e-4,
+            err_msg=f"output {j}")
