@@ -121,3 +121,44 @@ def test_process_clip_rejects_wrong_frame_dims(trained):
     clip = np.zeros((3, 1, CROP + 4, CROP, 3), np.uint8)
     with pytest.raises(ValueError, match="frame_size"):
         eng.process_clip(clip)
+
+
+def test_upscale_images_tool_matches_engine(trained, tmp_path):
+    """tools/upscale_images.py (the reference inference.py runner
+    analog: sorted globs -> recurrent engine -> PNG per frame + avg
+    time log) must reproduce the Engine's streamed outputs exactly,
+    carrying state ACROSS images."""
+    import subprocess
+    import sys
+
+    import cv2
+
+    root, config = trained
+    pkg = os.path.join(config["export"]["dir"], "package")
+
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 256, (4, CROP, CROP, 3), np.uint8)
+    in_dir = tmp_path / "frames"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    for t in range(4):
+        cv2.imwrite(str(in_dir / f"f_{t:03d}.png"), frames[t])
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "upscale_images.py"),
+         "-p", pkg, "-o", str(out_dir), "--cpu",
+         str(in_dir / "*.png")],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr
+    assert "average time" in r.stdout
+
+    eng = create_runtime(pkg)
+    for t in range(4):
+        ref = np.asarray(eng.process(frames[t]))
+        got = cv2.imread(str(out_dir / f"f_{t:03d}.png"),
+                         cv2.IMREAD_COLOR)
+        assert got is not None
+        np.testing.assert_array_equal(got, ref, err_msg=f"frame {t}")
