@@ -473,10 +473,36 @@ void PjrtEngine::process(const std::uint8_t *in, std::size_t inSize,
   }
   out->resize(m_spec.outputs[0].byteSize());
   {
+    // Request a dense row-major host copy EXPLICITLY.  With
+    // host_layout null the plugin copies in the device buffer's own
+    // layout -- and real TPU plugins pick a non-row-major layout for
+    // the u8 display output (measured on the axon plugin: fully
+    // reversed minor-to-major, i.e. the bytes land as (C, W, H)),
+    // which scrambles the frame.  The TILED form with descending
+    // minor_to_major and no tiles is dense row-major; plugins only
+    // need to support this form (it is the one jaxlib's ToLiteral
+    // path always passes -- the axon plugin REJECTS the Strides
+    // form, measured).
+    const TensorSpec &spec0 = m_spec.outputs[0];
+    std::vector<std::int64_t> minorToMajor(spec0.dims.size());
+    for (std::size_t i = 0; i < minorToMajor.size(); ++i) {
+      minorToMajor[i] =
+          static_cast<std::int64_t>(minorToMajor.size() - 1 - i);
+    }
+    PJRT_Buffer_MemoryLayout hostLayout;
+    std::memset(&hostLayout, 0, sizeof(hostLayout));
+    hostLayout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    hostLayout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    hostLayout.tiled.struct_size =
+        PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+    hostLayout.tiled.minor_to_major = minorToMajor.data();
+    hostLayout.tiled.minor_to_major_size = minorToMajor.size();
+
     PJRT_Buffer_ToHostBuffer_Args toHost;
     std::memset(&toHost, 0, sizeof(toHost));
     toHost.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     toHost.src = outputs[0];
+    toHost.host_layout = &hostLayout;
     toHost.dst = out->data();
     toHost.dst_size = out->size();
     PJRT_Error *err = m_api->PJRT_Buffer_ToHostBuffer(&toHost);

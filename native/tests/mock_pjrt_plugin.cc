@@ -49,7 +49,80 @@ struct Buffer {
   TensorSpec spec;
   std::vector<std::uint8_t> bytes;
   bool consumed = false;  // donated to an execute
+  // Device layout of `bytes`: row-major (host order), or fully
+  // reversed minor-to-major (first logical axis fastest-varying).
+  // Real TPU plugins pick the reversed layout for the u8 display
+  // output (measured on the axon plugin), so the mock stores
+  // non-aliased executable outputs that way: a backend that fails to
+  // request an explicit row-major host_layout in ToHostBuffer reads
+  // scrambled frames, exactly like on hardware.
+  bool reversedLayout = false;
 };
+
+// Map a row-major byte image of `spec` into reversed-minor-to-major
+// storage (forward=true) or back (forward=false).
+std::vector<std::uint8_t> convertReversed(
+    const std::vector<std::uint8_t> &src, const TensorSpec &spec,
+    bool toReversed) {
+  const std::size_t n = spec.dims.size();
+  const std::size_t elem = JoshUpscale::core::dtypeSize(spec.dtype);
+  std::vector<std::uint8_t> dst(src.size());
+  if (n < 2) {
+    return src;
+  }
+  // Reversed-layout element strides: first logical axis is minor.
+  std::vector<std::size_t> fstride(n);
+  fstride[0] = 1;
+  for (std::size_t j = 1; j < n; ++j) {
+    fstride[j] =
+        fstride[j - 1] * static_cast<std::size_t>(spec.dims[j - 1]);
+  }
+  std::vector<std::size_t> idx(n, 0);
+  const std::size_t count = spec.numElements();
+  for (std::size_t k = 0; k < count; ++k) {
+    std::size_t off = 0;
+    for (std::size_t j = 0; j < n; ++j) {
+      off += idx[j] * fstride[j];
+    }
+    const std::size_t a = k * elem;
+    const std::size_t b = off * elem;
+    if (toReversed) {
+      std::memcpy(&dst[b], &src[a], elem);
+    } else {
+      std::memcpy(&dst[a], &src[b], elem);
+    }
+    for (std::size_t j = n; j-- > 0;) {  // advance row-major counter
+      if (++idx[j] < static_cast<std::size_t>(spec.dims[j])) {
+        break;
+      }
+      idx[j] = 0;
+    }
+  }
+  return dst;
+}
+
+// True iff `layout` describes a dense row-major layout for `spec`.
+// Like the real TPU plugins (measured on the axon plugin; jaxlib's
+// ToLiteral path always sends Tiled), ONLY the tiled form with
+// descending minor_to_major and no tiles is accepted.
+bool isDenseRowMajor(const PJRT_Buffer_MemoryLayout *layout,
+                     const TensorSpec &spec) {
+  if (layout->type != PJRT_Buffer_MemoryLayout_Type_Tiled) {
+    return false;
+  }
+  const auto &tiled = layout->tiled;
+  if (tiled.num_tiles != 0 ||
+      tiled.minor_to_major_size != spec.dims.size()) {
+    return false;
+  }
+  for (std::size_t i = 0; i < tiled.minor_to_major_size; ++i) {
+    if (tiled.minor_to_major[i] !=
+        static_cast<std::int64_t>(spec.dims.size() - 1 - i)) {
+      return false;
+    }
+  }
+  return true;
+}
 
 struct Client {
   StepSpec spec;
@@ -258,6 +331,10 @@ PJRT_Error *loadedExecutableExecute(
                                              in1[k % in1.size()]);
         }
       }
+      // Store display-style outputs in the reversed device layout
+      // (see Buffer::reversedLayout) so ToHostBuffer must convert.
+      out = convertReversed(out, spec.outputs[j], /*toReversed=*/true);
+      buffer->impl.reversedLayout = true;
     }
     args->output_lists[0][j] = buffer;
   }
@@ -281,7 +358,23 @@ PJRT_Error *bufferToHostBuffer(PJRT_Buffer_ToHostBuffer_Args *args) {
   if (args->dst_size < src.bytes.size()) {
     return wrap(makeError("destination too small"));
   }
-  std::memcpy(args->dst, src.bytes.data(), src.bytes.size());
+  if (args->host_layout == nullptr) {
+    // Per the C API contract, a null host_layout copies in the SOURCE
+    // buffer's layout -- for reversed-layout device buffers that hands
+    // the caller scrambled bytes, exactly like the real TPU plugin.
+    std::memcpy(args->dst, src.bytes.data(), src.bytes.size());
+  } else if (isDenseRowMajor(args->host_layout, src.spec)) {
+    if (src.reversedLayout) {
+      std::vector<std::uint8_t> rm =
+          convertReversed(src.bytes, src.spec, /*toReversed=*/false);
+      std::memcpy(args->dst, rm.data(), rm.size());
+    } else {
+      std::memcpy(args->dst, src.bytes.data(), src.bytes.size());
+    }
+  } else {
+    return wrap(makeError(
+        "mock plugin only supports dense row-major host_layout"));
+  }
   args->event = new PJRT_Event;
   return nullptr;
 }
