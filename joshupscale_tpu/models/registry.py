@@ -178,7 +178,7 @@ def _build_frvsr(key, *, flow_model: BuiltModel,
                  generator_model: BuiltModel,
                  inference_model: Optional[BuiltModel] = None,
                  learning_rate=0.0005, normalize_brightness=False,
-                 regularization=None, **_):
+                 regularization=None, compute_dtype=jnp.float32, **_):
     """FRVSR trainer (reference models.py get_frvsr :879-935)."""
     from joshupscale_tpu.training.frvsr import FRVSRTrainer
 
@@ -187,6 +187,7 @@ def _build_frvsr(key, *, flow_model: BuiltModel,
         generator_apply=generator_model.apply,
         num_flow_frames=flow_model.config.get("num_inputs", 4),
         normalize_brightness=normalize_brightness,
+        compute_dtype=compute_dtype,
     )
     params = {
         "flow": flow_model.params,
@@ -224,7 +225,8 @@ def _build_gan(key, *, flow_model: BuiltModel,
                vgg_model: BuiltModel,
                inference_model: Optional[BuiltModel] = None,
                learning_rate=0.0005, normalize_brightness=False,
-               loss_config=None, regularization=None, **_):
+               loss_config=None, regularization=None,
+               compute_dtype=jnp.float32, **_):
     """GAN trainer (reference models.py get_gan :992-1070)."""
     from joshupscale_tpu.training.gan import GANTrainer
 
@@ -237,6 +239,7 @@ def _build_gan(key, *, flow_model: BuiltModel,
         num_flow_frames=flow_model.config.get("num_inputs", 4),
         normalize_brightness=normalize_brightness,
         loss_config=cfg_items,
+        compute_dtype=compute_dtype,
     )
     params = {
         "gen": {

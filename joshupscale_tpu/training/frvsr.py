@@ -94,9 +94,13 @@ def flow_history_frames(
         return []
     b, t = inputs_flow.shape[:2]
     frame_shape = (b, num_rand_frames) + inputs_flow.shape[2:]
+    # Draw in float32 and cast: random DATA must not change with the
+    # compute dtype (uniform sampled directly in bf16 yields different
+    # values, which would make mixed-precision runs incomparable to
+    # f32 runs under the same seed).
     rand = jax.random.uniform(
-        rng, frame_shape, inputs_flow.dtype, -0.5, 0.5
-    )
+        rng, frame_shape, jnp.float32, -0.5, 0.5
+    ).astype(inputs_flow.dtype)
     return [
         _merge_bt(
             jnp.concatenate(
@@ -119,6 +123,13 @@ class FRVSRTrainer:
     normalize_brightness : subtract per-frame mean luma before flow and
         re-add the per-step brightness delta to warped frames.
     remat : rematerialize the generator scan body (memory vs FLOPs).
+    compute_dtype : activations dtype for the network forward/backward
+        (the reference trains mixed_float16 on GPU,
+        scripts/training/train_local.py:72-77; the TPU analog is
+        bfloat16, which keeps fp32's exponent range so no loss scaling
+        is needed).  Params, optimizer state, BN statistics, the
+        supervision warp (target_warp) and every loss term stay
+        float32; warp index math is float32 regardless (ops/warp.py).
     """
 
     flow_apply: Callable[..., jnp.ndarray]
@@ -126,6 +137,7 @@ class FRVSRTrainer:
     num_flow_frames: int = 4
     normalize_brightness: bool = False
     remat: bool = True
+    compute_dtype: Any = jnp.float32
 
     # -- forward -----------------------------------------------------------
 
@@ -156,7 +168,12 @@ class FRVSRTrainer:
         # 32 batch 4) dominates wall time; on production TPU pods this
         # is the tfrecords-input-pipeline layout (u8 PNG bytes decoded
         # on host, normalized on device).
-        inputs = preprocess_batch(inputs)
+        #
+        # Mixed precision: the network inputs are cast to compute_dtype
+        # here and every layer follows its input dtype; targets stay
+        # float32 so the supervision warp and the losses are computed
+        # at full precision.
+        inputs = preprocess_batch(inputs).astype(self.compute_dtype)
         targets = preprocess_batch(targets)
 
         b, t, h, w, _ = inputs.shape
@@ -187,10 +204,11 @@ class FRVSRTrainer:
         if bright_diff is not None:
             target_warp = target_warp + bright_diff
 
-        # First frame: random pre_warp (no history yet).
+        # First frame: random pre_warp (no history yet).  Drawn in f32
+        # and cast (see flow_history_frames).
         first_warp = jax.random.uniform(
-            rng_first, (b, h * 4, w * 4, 3), inputs.dtype, -0.5, 0.5
-        )
+            rng_first, (b, h * 4, w * 4, 3), jnp.float32, -0.5, 0.5
+        ).astype(inputs.dtype)
         first_out = self.generator_apply(
             params["generator"], inputs[:, 0], first_warp,
             mut=mut.scoped("generator"),

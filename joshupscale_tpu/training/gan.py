@@ -119,6 +119,12 @@ class GANTrainer:
     normalize_brightness: bool = False
     loss_config: Tuple[Tuple[str, Any], ...] = ()
     remat: bool = True
+    # Activations dtype for all four networks (see FRVSRTrainer): the
+    # real AND fake branches of the discriminator/VGG run in the same
+    # dtype (an f32-real/bf16-fake split would hand the discriminator
+    # a precision tell).  Losses, EMAs, the supervision warp, params
+    # and optimizer state stay float32.
+    compute_dtype: Any = jnp.float32
 
     def config(self) -> Dict[str, Any]:
         return losses.get_gan_loss_config(dict(self.loss_config))
@@ -147,7 +153,11 @@ class GANTrainer:
         from joshupscale_tpu.training.frvsr import preprocess_batch
 
         # u8 batches normalize on device (see FRVSRTrainer.forward).
-        inputs = preprocess_batch(inputs)
+        # Mixed precision: network inputs cast to compute_dtype; targets
+        # stay float32 for the supervision warp + losses, and are cast
+        # to compute_dtype only where they feed a network (VGG real
+        # branch, discriminator real triples).
+        inputs = preprocess_batch(inputs).astype(self.compute_dtype)
         targets = preprocess_batch(targets)
 
         b, t, h, w, _ = inputs.shape
@@ -185,9 +195,10 @@ class GANTrainer:
             target_warp = target_warp + bright_diff
 
         # Recurrent generation (19 frames), first frame random pre_warp.
+        # Drawn in f32 and cast (see frvsr.flow_history_frames).
         first_warp = jax.random.uniform(
-            rng_first, (b, h * 4, w * 4, 3), inputs.dtype, -0.5, 0.5
-        )
+            rng_first, (b, h * 4, w * 4, 3), jnp.float32, -0.5, 0.5
+        ).astype(inputs.dtype)
         first_out = self.generator_apply(
             gen_params["generator"], inputs_d[:, 0], first_warp,
             mut=mut.scoped("gen.generator"),
@@ -229,14 +240,20 @@ class GANTrainer:
 
         # VGG features: real on the 10 base frames (mirrored to 19),
         # fake on all 19 generated frames.
-        vgg_real = self.vgg_apply(vgg_params, _merge_bt(targets))
+        vgg_real = self.vgg_apply(
+            vgg_params, _merge_bt(targets).astype(self.compute_dtype)
+        )
         vgg_real = [pingpong(_split_bt(f, t)) for f in vgg_real]
         vgg_fake = self.vgg_apply(vgg_params, _merge_bt(gen_outputs))
         vgg_fake = [_split_bt(f, td) for f in vgg_fake]
 
         # Temporal discriminator on 6 triples of the first 18 frames.
+        # The real triples cast to compute_dtype so both discriminator
+        # branches see the same numerics.
         t_gen = _merge_bt(gen_outputs[:, :18])
-        t_targets = _merge_bt(targets_d[:, :18])
+        t_targets = _merge_bt(targets_d[:, :18]).astype(
+            self.compute_dtype
+        )
         t_inputs = _merge_bt(inputs_d[:, :18])
         if bright_d is not None:
             t_bright = _merge_bt(bright_d[:, :18])
