@@ -199,8 +199,19 @@ class FRVSRTrainer:
         flow_t = _split_bt(flow, t - 1)
 
         # Supervision warp: previous HR target warped by the flow.
-        target_prev = _merge_bt(targets[:, :-1])
-        target_warp = _split_bt(dense_image_warp(target_prev, flow), t - 1)
+        # Runs HOMOGENEOUSLY in compute_dtype (result cast back to f32
+        # for the loss; both casts are no-ops at f32): warping an f32
+        # image by a bf16 flow inside the large fused training graph
+        # NaNs the warp output on XLA:TPU (round-4 miscompile, same
+        # family as the round-2 promise-mode gather bug -- the minimal
+        # mixed-dtype warp is fine, only the fused-graph context
+        # breaks; see CLAUDE.md).  Pixel data is u8-quantized so the
+        # bf16 image cast costs < 1/2 u8 step of supervision precision.
+        cdt = self.compute_dtype
+        target_prev = _merge_bt(targets[:, :-1]).astype(cdt)
+        target_warp = _split_bt(
+            dense_image_warp(target_prev, flow).astype(jnp.float32),
+            t - 1)
         if bright_diff is not None:
             target_warp = target_warp + bright_diff
 

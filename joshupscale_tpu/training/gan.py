@@ -187,9 +187,16 @@ class GANTrainer:
                                mut=mut.scoped("gen.flow"))
         flow_t = _split_bt(flow, td - 1)
 
-        target_prev = _merge_bt(targets_d[:, :-1])
+        # Supervision warp runs homogeneously in compute_dtype and the
+        # result is cast back to f32 for the loss (both no-ops at f32):
+        # an f32-image/bf16-flow warp inside the fused training graph
+        # NaNs on XLA:TPU (see FRVSRTrainer.forward / CLAUDE.md).
+        target_prev = _merge_bt(targets_d[:, :-1]).astype(
+            self.compute_dtype
+        )
         target_warp = _split_bt(
-            dense_image_warp(target_prev, flow), td - 1
+            dense_image_warp(target_prev, flow).astype(jnp.float32),
+            td - 1
         )
         if bright_diff is not None:
             target_warp = target_warp + bright_diff
