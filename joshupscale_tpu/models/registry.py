@@ -178,7 +178,8 @@ def _build_frvsr(key, *, flow_model: BuiltModel,
                  generator_model: BuiltModel,
                  inference_model: Optional[BuiltModel] = None,
                  learning_rate=0.0005, normalize_brightness=False,
-                 regularization=None, compute_dtype=jnp.float32, **_):
+                 regularization=None, compute_dtype=jnp.float32,
+                 s2d_train_warp=False, **_):
     """FRVSR trainer (reference models.py get_frvsr :879-935)."""
     from joshupscale_tpu.training.frvsr import FRVSRTrainer
 
@@ -188,6 +189,7 @@ def _build_frvsr(key, *, flow_model: BuiltModel,
         num_flow_frames=flow_model.config.get("num_inputs", 4),
         normalize_brightness=normalize_brightness,
         compute_dtype=compute_dtype,
+        s2d_train_warp=s2d_train_warp,
     )
     params = {
         "flow": flow_model.params,
@@ -226,7 +228,7 @@ def _build_gan(key, *, flow_model: BuiltModel,
                inference_model: Optional[BuiltModel] = None,
                learning_rate=0.0005, normalize_brightness=False,
                loss_config=None, regularization=None,
-               compute_dtype=jnp.float32, **_):
+               compute_dtype=jnp.float32, s2d_train_warp=False, **_):
     """GAN trainer (reference models.py get_gan :992-1070)."""
     from joshupscale_tpu.training.gan import GANTrainer
 
@@ -240,6 +242,7 @@ def _build_gan(key, *, flow_model: BuiltModel,
         normalize_brightness=normalize_brightness,
         loss_config=cfg_items,
         compute_dtype=compute_dtype,
+        s2d_train_warp=s2d_train_warp,
     )
     params = {
         "gen": {

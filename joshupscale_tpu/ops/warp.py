@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from joshupscale_tpu.ops.space_depth import depth_to_space, space_to_depth
+
 # The TPU gather's per-index rate has a measured WINDOW of collapse in
 # table row count (v5e: 130K rows = 1.84 ns/idx, 260K = 1.92, 518K =
 # 10.7 (!), 1.04M = 5.2; CLAUDE.md gather rate law).  Batched warps
@@ -123,6 +125,7 @@ def dense_image_warp_s2d(
     image_s2d: jnp.ndarray,
     flow_s2d: jnp.ndarray,
     block: int = 4,
+    gather_mode: str = "promise",
 ) -> jnp.ndarray:
     """Dense warp computed entirely in space-to-depth form.
 
@@ -142,6 +145,15 @@ def dense_image_warp_s2d(
         ``(ry, rx, c)`` like ``tf.nn.space_to_depth``).
     flow_s2d : (N, Hb, Wb, B*B*2) s2d-form flow (the flow net's head
         output BEFORE its depth_to_space; channel ``(ry, rx, {y,x})``).
+    gather_mode : ``"promise"`` (serving default) gathers with
+        ``promise_in_bounds`` -- fastest, but that gather's custom
+        fusion MISCOMPILES inside large fused TRAINING graphs on
+        XLA:TPU (the round-2 bug family: the final 8x128-grain tail of
+        the output buffer is left unwritten).  ``"fill"`` clips the
+        indices and gathers with ``mode="fill"`` like the pixel-space
+        training warp -- one extra select pass, safe in training
+        graphs.  Values are identical either way (indices are in
+        bounds by construction).
 
     Returns
     -------
@@ -225,6 +237,20 @@ def dense_image_warp_s2d(
     # gather (XLA batch-gather path) is ~8x slower than either.
     lin = (iy // b) * wb + ix // b
     rows_count = n * hb * wb
+
+    if gather_mode == "promise":
+        def _gather(tbl2d, idx1d, limit):
+            # Pre-clamped indices: skip the OOB fill/select pass (it
+            # costs a full extra pass + layout copy over the gather
+            # output).
+            return tbl2d.at[idx1d].get(mode="promise_in_bounds")
+    elif gather_mode == "fill":
+        def _gather(tbl2d, idx1d, limit):
+            return tbl2d.at[jnp.clip(idx1d, 0, limit - 1)].get(
+                mode="fill", fill_value=0)
+    else:
+        raise ValueError(f"unknown gather_mode: {gather_mode!r}")
+
     if (rows_count <= FLAT_GATHER_MAX_ROWS
             or rows_count >= FLAT_GATHER_RESUME_ROWS):
         if n > 1:
@@ -232,15 +258,13 @@ def dense_image_warp_s2d(
                 jnp.int32, (n, hb, wb, p2), 0) * (hb * wb)
             lin = lin + offs
         flat = table.reshape(n * hb * wb, lanes)
-        # Pre-clamped indices: skip the OOB fill/select pass (it costs
-        # a full extra pass + layout copy over the gather output).
-        rows = flat.at[lin.reshape(-1)].get(mode="promise_in_bounds")
+        rows = _gather(flat, lin.reshape(-1), n * hb * wb)
         rows = rows.reshape(n, hb, wb, p2, lanes)
     else:
         def one_stream(args):
             tbl, idx = args
-            return tbl.reshape(hb * wb, lanes).at[idx.reshape(-1)].get(
-                mode="promise_in_bounds")
+            return _gather(
+                tbl.reshape(hb * wb, lanes), idx.reshape(-1), hb * wb)
 
         rows = jax.lax.map(one_stream, (table, lin))
         rows = rows.reshape(n, hb, wb, p2, lanes)
@@ -268,3 +292,41 @@ def dense_image_warp_s2d(
         acc = (acc.astype(jnp.float32) * (1.0 / 255.0) - 0.5).astype(
             out_dtype)
     return acc.reshape(n, hb, wb, p2 * c)
+
+
+def dense_image_warp_via_s2d(
+    image: jnp.ndarray,
+    flow: jnp.ndarray,
+    block: int = 4,
+) -> jnp.ndarray:
+    """Pixel-layout dense warp routed through the s2d gather table.
+
+    Numerically identical to :func:`dense_image_warp` (same tfa
+    edge-clamp semantics, same f32 index math) and fully
+    differentiable w.r.t. both ``image`` and ``flow`` -- the TRAINING
+    fast path.  The pixel-space warp's gather table has ``N*H*W`` rows
+    of ``4*C`` lanes, and large training batches (e.g. the GAN's
+    ``B*18`` supervision/discriminator warps, ~590K-1.2M rows) sit in
+    the measured slow regime of the TPU gather rate law (518K-row
+    tables run ~5x slower PER INDEX than 130K-row tables; CLAUDE.md).
+    Routing through the corner-subposition table shrinks the row count
+    ``block**2``-fold (same index count, 130K-row-class table) at
+    ``(block+1)**2 * C`` lanes, still under the 128-lane fast-path
+    limit.
+
+    Uses ``gather_mode="fill"`` -- the training-graph-safe gather (the
+    promise-mode gather fusion miscompiles inside large fused training
+    graphs on XLA:TPU; round-2 bug family).  The backward pass w.r.t.
+    ``image`` is XLA's scatter-add over the same table; w.r.t. ``flow``
+    it is elementwise over the saved gather rows.
+
+    Falls back to the pixel-space warp when H or W is not divisible by
+    ``block`` (training crops are 4-aligned in practice).
+    """
+    n, h, w, c = image.shape
+    if h % block or w % block:
+        return dense_image_warp(image, flow)
+    img_s = space_to_depth(image, block)
+    flow_s = space_to_depth(flow, block)
+    out = dense_image_warp_s2d(img_s, flow_s, block, gather_mode="fill")
+    return depth_to_space(out, block)

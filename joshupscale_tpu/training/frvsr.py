@@ -138,6 +138,20 @@ class FRVSRTrainer:
     normalize_brightness: bool = False
     remat: bool = True
     compute_dtype: Any = jnp.float32
+    # Route the big batched training warps through the s2d
+    # corner-subposition gather table (ops.warp.dense_image_warp_via_
+    # s2d): numerically identical + fully differentiable, but the
+    # gather table has 16x fewer rows, dodging the TPU gather rate
+    # law's >500K-row slow regime that the pixel-space supervision/
+    # discriminator warps sit in at training batch sizes.
+    s2d_train_warp: bool = False
+
+    def _warp(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+        if self.s2d_train_warp:
+            from joshupscale_tpu.ops.warp import dense_image_warp_via_s2d
+
+            return dense_image_warp_via_s2d(image, flow)
+        return dense_image_warp(image, flow)
 
     # -- forward -----------------------------------------------------------
 
@@ -210,7 +224,7 @@ class FRVSRTrainer:
         cdt = self.compute_dtype
         target_prev = _merge_bt(targets[:, :-1]).astype(cdt)
         target_warp = _split_bt(
-            dense_image_warp(target_prev, flow).astype(jnp.float32),
+            self._warp(target_prev, flow).astype(jnp.float32),
             t - 1)
         if bright_diff is not None:
             target_warp = target_warp + bright_diff
@@ -229,7 +243,7 @@ class FRVSRTrainer:
             frame, cur_flow, bd = xs
             if bd is not None:
                 last_output = last_output + bd
-            warped = dense_image_warp(last_output, cur_flow)
+            warped = self._warp(last_output, cur_flow)
             # Batch-stat BN inside the scan; moving-stat updates are
             # exported through ys and averaged post-scan (see
             # merge_scan_bn_updates -- the first call's noise-warp

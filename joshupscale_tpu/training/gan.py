@@ -125,6 +125,18 @@ class GANTrainer:
     # a precision tell).  Losses, EMAs, the supervision warp, params
     # and optimizer state stay float32.
     compute_dtype: Any = jnp.float32
+    # s2d-table routing for the big batched training warps (see
+    # FRVSRTrainer.s2d_train_warp): the GAN's supervision and
+    # discriminator warps run at B*18 frames, deep in the gather rate
+    # law's slow regime in pixel space.
+    s2d_train_warp: bool = False
+
+    def _warp(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+        if self.s2d_train_warp:
+            from joshupscale_tpu.ops.warp import dense_image_warp_via_s2d
+
+            return dense_image_warp_via_s2d(image, flow)
+        return dense_image_warp(image, flow)
 
     def config(self) -> Dict[str, Any]:
         return losses.get_gan_loss_config(dict(self.loss_config))
@@ -195,7 +207,7 @@ class GANTrainer:
             self.compute_dtype
         )
         target_warp = _split_bt(
-            dense_image_warp(target_prev, flow).astype(jnp.float32),
+            self._warp(target_prev, flow).astype(jnp.float32),
             td - 1
         )
         if bright_diff is not None:
@@ -215,7 +227,7 @@ class GANTrainer:
             frame, cur_flow, bd = xs
             if bd is not None:
                 last_output = last_output + bd
-            warped = dense_image_warp(last_output, cur_flow)
+            warped = self._warp(last_output, cur_flow)
             # Moving-stat updates exported through ys; averaged
             # post-scan (merge_scan_bn_updates).
             step_mut = Mutables(training)
@@ -284,7 +296,7 @@ class GANTrainer:
         debug_taps = {}
 
         def discr_input(frames, tag):
-            raw = dense_image_warp(frames, t_vel)
+            raw = self._warp(frames, t_vel)
             warped = _mask_border(_group_channels(raw), h, w)
             before = _group_channels(frames)
             debug_taps[f"warp_raw_{tag}"] = raw

@@ -138,3 +138,79 @@ def test_s2d_warp_per_stream_gather_branch(rng, monkeypatch):
     monkeypatch.setattr(warp_mod, "FLAT_GATHER_MAX_ROWS", 1)
     mapped = dense_image_warp_s2d(img, flow)
     np.testing.assert_array_equal(np.asarray(flat), np.asarray(mapped))
+
+
+def test_via_s2d_matches_pixel_value_and_grad(rng):
+    """The s2d-routed TRAINING warp (dense_image_warp_via_s2d) is the
+    pixel warp: identical values AND identical gradients w.r.t. both
+    the image (gather vjp = scatter-add) and the flow (through the
+    bilinear alphas), including out-of-range edge-clamped queries."""
+    import jax
+
+    from joshupscale_tpu.ops.warp import (
+        dense_image_warp,
+        dense_image_warp_via_s2d,
+    )
+
+    img = jnp.asarray(rng.standard_normal((3, 16, 24, 3)).astype(np.float32))
+    flow = jnp.asarray(
+        (rng.standard_normal((3, 16, 24, 2)) * 6).astype(np.float32))
+
+    a = dense_image_warp(img, flow)
+    b = dense_image_warp_via_s2d(img, flow)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-6, rtol=0)
+
+    # A nonlinear scalarization so wrong corner weights can't cancel.
+    def loss(warp_fn, i, f):
+        return jnp.sum(jnp.sin(warp_fn(i, f) * 3.0))
+
+    ga_i, ga_f = jax.grad(lambda i, f: loss(dense_image_warp, i, f),
+                          argnums=(0, 1))(img, flow)
+    gb_i, gb_f = jax.grad(
+        lambda i, f: loss(dense_image_warp_via_s2d, i, f),
+        argnums=(0, 1))(img, flow)
+    np.testing.assert_allclose(np.asarray(ga_i), np.asarray(gb_i),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(gb_f),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_via_s2d_falls_back_on_unaligned_shapes(rng):
+    """H/W not divisible by the block route to the pixel warp."""
+    from joshupscale_tpu.ops.warp import (
+        dense_image_warp,
+        dense_image_warp_via_s2d,
+    )
+
+    img = jnp.asarray(rng.standard_normal((1, 10, 9, 3)).astype(np.float32))
+    flow = jnp.asarray(
+        (rng.standard_normal((1, 10, 9, 2)) * 2).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(dense_image_warp_via_s2d(img, flow)),
+        np.asarray(dense_image_warp(img, flow)))
+
+
+def test_s2d_warp_fill_mode_matches_promise(rng):
+    """gather_mode="fill" (the training-graph-safe gather) is value-
+    identical to the serving promise-mode gather, in both the flat and
+    the per-stream lax.map branches."""
+    import joshupscale_tpu.ops.warp as warp_mod
+    from joshupscale_tpu.ops.warp import dense_image_warp_s2d
+
+    n, hb, wb = 3, 6, 8
+    img = jnp.asarray(rng.random((n, hb, wb, 48), np.float32) - 0.5)
+    flow = jnp.asarray(
+        (rng.random((n, hb, wb, 32), np.float32) - 0.5) * 10.0)
+
+    promise = dense_image_warp_s2d(img, flow)
+    fill = dense_image_warp_s2d(img, flow, gather_mode="fill")
+    np.testing.assert_array_equal(np.asarray(promise), np.asarray(fill))
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(warp_mod, "FLAT_GATHER_MAX_ROWS", 1)
+        mapped = dense_image_warp_s2d(img, flow, gather_mode="fill")
+    np.testing.assert_array_equal(np.asarray(promise), np.asarray(mapped))
+
+    with pytest.raises(ValueError):
+        dense_image_warp_s2d(img, flow, gather_mode="bogus")

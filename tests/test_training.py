@@ -606,3 +606,49 @@ def test_frvsr_bn_updates_use_scan_steady_state(rng):
             first_mut.updates[path]["moving_variance"])
         assert not np.allclose(got_batch, first_batch, rtol=1e-3), (
             f"{key_full} still first-call-calibrated")
+
+
+def test_gan_s2d_train_warp_matches_pixel(gan_setup, rng):
+    """s2d_train_warp routes every training warp through the s2d
+    corner-subposition table (the gather-rate-law training fast path);
+    one full GAN step must produce the same metrics as the pixel-space
+    warp up to float reassociation in the combine."""
+    import dataclasses as dc
+
+    trainer, gen_params, discr_params, vgg_params = gan_setup
+    batch = _batch(rng, b=1)
+    key = jax.random.PRNGKey(11)
+    mets = []
+    for s2d in (False, True):
+        tr = dc.replace(trainer, s2d_train_warp=s2d)
+        gopt = make_optimizer(1e-4)
+        dopt = make_optimizer(1e-4)
+        step = build_gan_step(tr, gopt, dopt, vgg_params)
+        state = _gan_state(tr, gen_params, discr_params, gopt, dopt)
+        state, m = step(state, batch, key)
+        mets.append({k: float(v) for k, v in m.items()})
+    assert mets[0].keys() == mets[1].keys()
+    for k in mets[0]:
+        np.testing.assert_allclose(mets[0][k], mets[1][k],
+                                   rtol=5e-4, atol=1e-5, err_msg=k)
+
+
+def test_frvsr_s2d_train_warp_matches_pixel(rng):
+    """Same equivalence for the FRVSR step."""
+    import dataclasses as dc
+
+    models = create_models(_config(), seed=0)
+    built = models["frvsr"]
+    batch = _batch(rng, b=2)
+    key = jax.random.PRNGKey(12)
+    losses = []
+    for s2d in (False, True):
+        tr = dc.replace(built.obj, s2d_train_warp=s2d)
+        opt = make_optimizer(1e-4)
+        params = jax.tree_util.tree_map(jnp.array, built.params)
+        step = build_frvsr_step(tr, opt)
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+        state, metrics = step(state, batch, key)
+        losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=5e-4)

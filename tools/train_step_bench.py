@@ -16,7 +16,11 @@ RATIO is overhead-free to first order since both pay it equally).
 
 Usage: python tools/train_step_bench.py [--crop 32] [--batch 4]
        [--k 10] [--reps 3] [--trainers frvsr,gan]
-       [--dtypes float32,bfloat16]
+       [--dtypes float32,bfloat16] [--warps pixel,s2d]
+
+``--warps pixel,s2d`` additionally compares the pixel-space training
+warp against the s2d corner-subposition routing
+(trainer ``s2d_train_warp``; see ops.warp.dense_image_warp_via_s2d).
 """
 
 import argparse
@@ -31,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def _build(trainer_name, compute_dtype, crop, batch):
+def _build(trainer_name, compute_dtype, crop, batch, s2d_warp=False):
     import jax
     import jax.numpy as jnp
 
@@ -55,6 +59,7 @@ def _build(trainer_name, compute_dtype, crop, batch):
             "name": "frvsr", "flow": {"model": "flow"},
             "generator": {"model": "generator"},
             "compute_dtype": compute_dtype,
+            "s2d_train_warp": s2d_warp,
         }
     else:
         config["discriminator"] = {"name": "discriminator",
@@ -66,6 +71,7 @@ def _build(trainer_name, compute_dtype, crop, batch):
             "discriminator": {"model": "discriminator"},
             "vgg": {"model": "vgg"},
             "compute_dtype": compute_dtype,
+            "s2d_train_warp": s2d_warp,
         }
     built = create_models(config, seed=0)[trainer_name]
     if trainer_name == "frvsr":
@@ -76,7 +82,8 @@ def _build(trainer_name, compute_dtype, crop, batch):
     return built, gopt, dopt
 
 
-def measure(trainer_name, compute_dtype, crop, batch, k, reps):
+def measure(trainer_name, compute_dtype, crop, batch, k, reps,
+            s2d_warp=False):
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +95,7 @@ def measure(trainer_name, compute_dtype, crop, batch, k, reps):
     )
 
     built, opt_a, opt_b = _build(trainer_name, compute_dtype, crop,
-                                 batch)
+                                 batch, s2d_warp)
     trainer = built.obj
     t_frames = 10
     rng = np.random.default_rng(0)
@@ -128,6 +135,7 @@ def measure(trainer_name, compute_dtype, crop, batch, k, reps):
     return {
         "trainer": trainer_name,
         "compute_dtype": compute_dtype,
+        "train_warp": "s2d" if s2d_warp else "pixel",
         "ms_per_step": round(dt * 1e3 / k, 2),
         "steps_per_execution": k,
         "final_" + metric: round(last, 4),
@@ -142,6 +150,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--trainers", default="frvsr,gan")
     ap.add_argument("--dtypes", default="float32,bfloat16")
+    ap.add_argument("--warps", default="pixel",
+                    help="comma list of pixel,s2d")
     args = ap.parse_args()
 
     from joshupscale_tpu.runtime.engine import enable_compilation_cache
@@ -151,15 +161,16 @@ def main():
     for trainer_name in args.trainers.split(","):
         base_ms = None
         for dtype in args.dtypes.split(","):
-            r = measure(trainer_name, dtype, args.crop, args.batch,
-                        args.k, args.reps)
-            if base_ms is None:
-                base_ms = r["ms_per_step"]
-            else:
-                r["speedup_vs_first_dtype"] = round(
-                    base_ms / r["ms_per_step"], 3)
-            results.append(r)
-            print(json.dumps(r), flush=True)
+            for warp in args.warps.split(","):
+                r = measure(trainer_name, dtype, args.crop, args.batch,
+                            args.k, args.reps, s2d_warp=(warp == "s2d"))
+                if base_ms is None:
+                    base_ms = r["ms_per_step"]
+                else:
+                    r["speedup_vs_first"] = round(
+                        base_ms / r["ms_per_step"], 3)
+                results.append(r)
+                print(json.dumps(r), flush=True)
     return 0
 
 
