@@ -228,7 +228,7 @@ def _build_gan(key, *, flow_model: BuiltModel,
                inference_model: Optional[BuiltModel] = None,
                learning_rate=0.0005, normalize_brightness=False,
                loss_config=None, regularization=None,
-               compute_dtype=jnp.float32, s2d_train_warp=False, **_):
+               compute_dtype=jnp.float32, s2d_train_warp=True, **_):
     """GAN trainer (reference models.py get_gan :992-1070)."""
     from joshupscale_tpu.training.gan import GANTrainer
 

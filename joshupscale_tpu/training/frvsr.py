@@ -140,10 +140,15 @@ class FRVSRTrainer:
     compute_dtype: Any = jnp.float32
     # Route the big batched training warps through the s2d
     # corner-subposition gather table (ops.warp.dense_image_warp_via_
-    # s2d): numerically identical + fully differentiable, but the
-    # gather table has 16x fewer rows, dodging the TPU gather rate
-    # law's >500K-row slow regime that the pixel-space supervision/
-    # discriminator warps sit in at training batch sizes.
+    # s2d): numerically identical + fully differentiable, with a 16x
+    # smaller gather table (dodges the TPU gather rate law's >500K-row
+    # slow regime) but 6.25x wider gather rows (75 vs 12 lanes).
+    # Measured on v5e at full arch (batch 4, crop 32, K=10): FRVSR
+    # 64.4 -> 76.3 ms/step at f32 (the wider rows' bandwidth outweighs
+    # the row-count win on FRVSR's single supervision warp) and only
+    # 69.3 -> 67.3 at bf16 -- so the PIXEL warp stays the FRVSR
+    # default.  The GAN trainer (3 big warps/step) wins both dtypes
+    # and defaults to s2d.
     s2d_train_warp: bool = False
 
     def _warp(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:

@@ -91,10 +91,14 @@ def test_full_arch_gan_dp_matches_single(rng):
         assert np.isfinite(float(v)), (k, float(v))
 
     # DP == single-device (cross-replica reductions only reorder fp32
-    # summation).
+    # summation).  Observed reorder noise on gen_loss at full
+    # architecture: ~1e-4 with the pixel-space training warp, ~8e-4
+    # with the (default) s2d-routed warp -- its per-device gather
+    # tables split differently under the batch shard, reordering the
+    # feature-matching sqrt-of-sum chains inside gen_loss.  Bound 2e-3.
     np.testing.assert_allclose(
         float(ref_metrics["gen_loss"]), float(dp_metrics["gen_loss"]),
-        rtol=5e-4)
+        rtol=2e-3)
     # The discriminator loss chains feature-matching norms
     # (sqrt-of-sum per layer) whose summation order the batch split
     # changes; at full architecture the observed reorder noise is
