@@ -143,12 +143,13 @@ class FRVSRTrainer:
     # s2d): numerically identical + fully differentiable, with a 16x
     # smaller gather table (dodges the TPU gather rate law's >500K-row
     # slow regime) but 6.25x wider gather rows (75 vs 12 lanes).
-    # Measured on v5e at full arch (batch 4, crop 32, K=10): FRVSR
-    # 64.4 -> 76.3 ms/step at f32 (the wider rows' bandwidth outweighs
+    # Measured on v5e at full arch (batch 4, crop 32, K=10), with the
+    # MXU segment-sum backward (ops.warp._segsum_gather): FRVSR
+    # 64.2 -> 73.8 ms/step at f32 (the wider rows' bandwidth outweighs
     # the row-count win on FRVSR's single supervision warp) and only
-    # 69.3 -> 67.3 at bf16 -- so the PIXEL warp stays the FRVSR
-    # default.  The GAN trainer (3 big warps/step) wins both dtypes
-    # and defaults to s2d.
+    # 63.9 -> 62.5 at bf16 -- so the PIXEL warp stays the FRVSR
+    # default.  The GAN trainer (3 big warps/step) wins big in both
+    # dtypes and defaults to s2d.
     s2d_train_warp: bool = False
 
     def _warp(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:

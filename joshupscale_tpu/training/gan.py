@@ -129,8 +129,9 @@ class GANTrainer:
     # FRVSRTrainer.s2d_train_warp): the GAN's supervision and two
     # discriminator warps run at B*18 frames, deep in the gather rate
     # law's slow regime in pixel space.  Measured on v5e at full arch
-    # (batch 4, crop 32, K=10): 265.5 -> 220.6 ms/step f32 (1.20x),
-    # 213.7 -> 189.7 bf16 (1.13x), losses tracking -- default ON.
+    # (batch 4, crop 32, K=10), with the MXU segment-sum warp backward
+    # (ops.warp._segsum_gather): 265.5 -> 197.8 ms/step f32 (1.34x),
+    # 213.7 -> 162.7 bf16 (1.31x), losses tracking -- default ON.
     s2d_train_warp: bool = True
 
     def _warp(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
