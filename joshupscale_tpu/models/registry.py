@@ -179,7 +179,7 @@ def _build_frvsr(key, *, flow_model: BuiltModel,
                  inference_model: Optional[BuiltModel] = None,
                  learning_rate=0.0005, normalize_brightness=False,
                  regularization=None, compute_dtype=jnp.float32,
-                 s2d_train_warp=False, **_):
+                 s2d_train_warp=False, s2d_scan_warp=True, **_):
     """FRVSR trainer (reference models.py get_frvsr :879-935)."""
     from joshupscale_tpu.training.frvsr import FRVSRTrainer
 
@@ -190,6 +190,7 @@ def _build_frvsr(key, *, flow_model: BuiltModel,
         normalize_brightness=normalize_brightness,
         compute_dtype=compute_dtype,
         s2d_train_warp=s2d_train_warp,
+        s2d_scan_warp=s2d_scan_warp,
     )
     params = {
         "flow": flow_model.params,
@@ -228,7 +229,8 @@ def _build_gan(key, *, flow_model: BuiltModel,
                inference_model: Optional[BuiltModel] = None,
                learning_rate=0.0005, normalize_brightness=False,
                loss_config=None, regularization=None,
-               compute_dtype=jnp.float32, s2d_train_warp=True, **_):
+               compute_dtype=jnp.float32, s2d_train_warp=True,
+               s2d_scan_warp=None, **_):
     """GAN trainer (reference models.py get_gan :992-1070)."""
     from joshupscale_tpu.training.gan import GANTrainer
 
@@ -243,6 +245,7 @@ def _build_gan(key, *, flow_model: BuiltModel,
         loss_config=cfg_items,
         compute_dtype=compute_dtype,
         s2d_train_warp=s2d_train_warp,
+        s2d_scan_warp=s2d_scan_warp,
     )
     params = {
         "gen": {

@@ -45,6 +45,10 @@ from joshupscale_tpu.ops.space_depth import depth_to_space, space_to_depth
 FLAT_GATHER_MAX_ROWS = 300_000
 FLAT_GATHER_RESUME_ROWS = 800_000
 
+# Transient budget for the one-hot in _segsum_gather's matmul backward
+# (bounds peak memory in case XLA materializes the dot operand).
+SEGSUM_ONEHOT_BUDGET_BYTES = 256 * 1024 * 1024
+
 
 def dense_image_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Warp ``image`` by per-pixel ``flow`` (tfa convention).
@@ -171,7 +175,7 @@ def _segsum_gather_bwd(frames, spec, res, cot):
 
     # Chunk the frame axis so the (chunk, m_f, r_f) one-hot transient
     # stays bounded even if XLA materializes it.
-    budget = 256 * 1024 * 1024 // max(
+    budget = SEGSUM_ONEHOT_BUDGET_BYTES // max(
         1, m_f * r_f * jnp.dtype(cot.dtype).itemsize)
     chunk = max(1, min(frames, budget))
     while frames % chunk:

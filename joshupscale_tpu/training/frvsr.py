@@ -151,9 +151,31 @@ class FRVSRTrainer:
     # default.  The GAN trainer (3 big warps/step) wins big in both
     # dtypes and defaults to s2d.
     s2d_train_warp: bool = False
+    # The RECURRENT scan warp routes separately (None = follow
+    # s2d_train_warp): unlike the supervision warp it needs gradients
+    # w.r.t. the warped IMAGE (the generator's previous output), whose
+    # pixel-space autodiff backward is a TPU scatter-add -- in s2d
+    # form that backward is the MXU segment sum (ops.warp.
+    # _segsum_gather).  Measured on v5e at full arch (batch 4,
+    # crop 32, K=10): scan-s2d + pixel supervision = 64.8 ms/step f32
+    # (vs 65.2 all-pixel, noise-level) and 62.2 bf16 (vs 64.5, the
+    # per-frame scatter + narrow 12-lane gather both go away) --
+    # default ON for FRVSR; the big supervision warp stays pixel.
+    s2d_scan_warp: Optional[bool] = True
 
     def _warp(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-        if self.s2d_train_warp:
+        return self._route_warp(self.s2d_train_warp, image, flow)
+
+    def _scan_warp(self, image: jnp.ndarray,
+                   flow: jnp.ndarray) -> jnp.ndarray:
+        use_s2d = (self.s2d_train_warp if self.s2d_scan_warp is None
+                   else self.s2d_scan_warp)
+        return self._route_warp(use_s2d, image, flow)
+
+    @staticmethod
+    def _route_warp(use_s2d: bool, image: jnp.ndarray,
+                    flow: jnp.ndarray) -> jnp.ndarray:
+        if use_s2d:
             from joshupscale_tpu.ops.warp import dense_image_warp_via_s2d
 
             return dense_image_warp_via_s2d(image, flow)
@@ -249,7 +271,7 @@ class FRVSRTrainer:
             frame, cur_flow, bd = xs
             if bd is not None:
                 last_output = last_output + bd
-            warped = self._warp(last_output, cur_flow)
+            warped = self._scan_warp(last_output, cur_flow)
             # Batch-stat BN inside the scan; moving-stat updates are
             # exported through ys and averaged post-scan (see
             # merge_scan_bn_updates -- the first call's noise-warp

@@ -133,13 +133,23 @@ class GANTrainer:
     # (ops.warp._segsum_gather): 265.5 -> 197.8 ms/step f32 (1.34x),
     # 213.7 -> 162.7 bf16 (1.31x), losses tracking -- default ON.
     s2d_train_warp: bool = True
+    # Separate routing for the recurrent scan warp (None = follow
+    # s2d_train_warp); see FRVSRTrainer.s2d_scan_warp.  For the GAN
+    # both default to the s2d route.
+    s2d_scan_warp: Optional[bool] = None
 
     def _warp(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-        if self.s2d_train_warp:
-            from joshupscale_tpu.ops.warp import dense_image_warp_via_s2d
+        from joshupscale_tpu.training.frvsr import FRVSRTrainer
 
-            return dense_image_warp_via_s2d(image, flow)
-        return dense_image_warp(image, flow)
+        return FRVSRTrainer._route_warp(self.s2d_train_warp, image, flow)
+
+    def _scan_warp(self, image: jnp.ndarray,
+                   flow: jnp.ndarray) -> jnp.ndarray:
+        from joshupscale_tpu.training.frvsr import FRVSRTrainer
+
+        use_s2d = (self.s2d_train_warp if self.s2d_scan_warp is None
+                   else self.s2d_scan_warp)
+        return FRVSRTrainer._route_warp(use_s2d, image, flow)
 
     def config(self) -> Dict[str, Any]:
         return losses.get_gan_loss_config(dict(self.loss_config))
@@ -230,7 +240,7 @@ class GANTrainer:
             frame, cur_flow, bd = xs
             if bd is not None:
                 last_output = last_output + bd
-            warped = self._warp(last_output, cur_flow)
+            warped = self._scan_warp(last_output, cur_flow)
             # Moving-stat updates exported through ys; averaged
             # post-scan (merge_scan_bn_updates).
             step_mut = Mutables(training)

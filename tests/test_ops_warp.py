@@ -214,3 +214,42 @@ def test_s2d_warp_fill_mode_matches_promise(rng):
 
     with pytest.raises(ValueError):
         dense_image_warp_s2d(img, flow, gather_mode="bogus")
+
+
+def test_via_s2d_grads_in_mapped_and_chunked_branches(rng, monkeypatch):
+    """The segment-sum warp backward (ops.warp._segsum_gather) must
+    keep gradient equality with the pixel warp in its two rarer
+    configurations: the per-stream lax.map gather branch (frames=1 per
+    gather) and the frame-chunked one-hot backward (one-hot transient
+    over SEGSUM_ONEHOT_BUDGET_BYTES)."""
+    import jax
+
+    import joshupscale_tpu.ops.warp as warp_mod
+    from joshupscale_tpu.ops.warp import (
+        dense_image_warp,
+        dense_image_warp_via_s2d,
+    )
+
+    img = jnp.asarray(rng.standard_normal((4, 16, 24, 3)).astype(np.float32))
+    flow = jnp.asarray(
+        (rng.standard_normal((4, 16, 24, 2)) * 6).astype(np.float32))
+
+    def loss(warp_fn, i, f):
+        return jnp.sum(jnp.sin(warp_fn(i, f) * 3.0))
+
+    ga_i, ga_f = jax.grad(lambda i, f: loss(dense_image_warp, i, f),
+                          argnums=(0, 1))(img, flow)
+
+    for name, patch in [
+        ("mapped", ("FLAT_GATHER_MAX_ROWS", 1)),
+        ("chunked", ("SEGSUM_ONEHOT_BUDGET_BYTES", 1)),
+    ]:
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(warp_mod, *patch)
+            gb_i, gb_f = jax.grad(
+                lambda i, f: loss(dense_image_warp_via_s2d, i, f),
+                argnums=(0, 1))(img, flow)
+        np.testing.assert_allclose(np.asarray(ga_i), np.asarray(gb_i),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+        np.testing.assert_allclose(np.asarray(ga_f), np.asarray(gb_f),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
