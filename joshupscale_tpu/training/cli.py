@@ -223,6 +223,9 @@ def train(config: Dict[str, Any], seed: int = 0,
         profile_dir=(os.path.join(log_dir, "profile")
                      if tb_dir and train_cfg.get("profile", True)
                      else None),
+        # Deferred metric-fetch window: overlaps host batch prep with
+        # device compute (0 = fully synchronous loop).
+        metric_lag=train_cfg.get("metric_lag", 1),
     )
 
     export_cfg = config.get("export")

@@ -21,6 +21,7 @@ TPU-native replacement for the reference's Keras fit machinery
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import json
 import os
@@ -560,6 +561,7 @@ def fit(
     tensorboard_dir: Optional[str] = None,
     profile_dir: Optional[str] = None,
     profile_batch: Tuple[int, int] = (5, 10),
+    metric_lag: int = 1,
 ):
     """Generic epoch loop: train, validate, checkpoint best+latest.
 
@@ -569,6 +571,10 @@ def fit(
     reference profiles batches 5-10 via the TensorBoard callback unless
     --disable-profile, train_local.py:106-110); view with TensorBoard or
     ``tools/profile_step.py``'s trace parser.
+    ``metric_lag`` bounds how many executions' metrics stay un-fetched
+    on device so host input prep overlaps device compute (0 restores
+    the fully synchronous loop); epoch results are identical either
+    way.
     Returns (state, history).
     """
     data_iter = iter(train_data)
@@ -576,6 +582,7 @@ def fit(
     best = float("inf")
     stale = 0
     acc = MeanAccumulator()
+    pending_metrics = collections.deque()
     global_step = 0
     profiling = False
     tb = TensorBoardLogger(tensorboard_dir) if tensorboard_dir else None
@@ -609,7 +616,19 @@ def fit(
             state, metrics = step_fn(state, device_normalize(batch),
                                      step_rng)
             global_step += spe
-            acc.update(metrics)
+            # Defer the metric fetch by metric_lag executions: jax
+            # dispatch is async, but float(np.asarray(metric)) blocks
+            # the host until the step finishes (a full round-trip per
+            # metric through a remote tunnel), serializing host batch
+            # prep against device compute.  Holding the device arrays
+            # for one window lets the host stage batch t+1 while step
+            # t runs (the training analog of the serving engine's
+            # max_inflight double buffering).
+            pending_metrics.append(metrics)
+            if len(pending_metrics) > metric_lag:
+                acc.update(pending_metrics.popleft())
+        while pending_metrics:
+            acc.update(pending_metrics.popleft())
         train_metrics = acc.result()
         if any(not np.isfinite(v) for v in train_metrics.values()):
             log_fn(f"epoch {epoch}: non-finite metric, terminating: "

@@ -652,3 +652,54 @@ def test_frvsr_s2d_train_warp_matches_pixel(rng):
         state, metrics = step(state, batch, key)
         losses.append(float(metrics["loss"]))
     np.testing.assert_allclose(losses[0], losses[1], rtol=5e-4)
+
+
+def test_fit_metric_lag_defers_fetch_without_changing_results(rng):
+    """fit(metric_lag=N) must hold metric trees on device for N
+    executions (so host batch prep overlaps device compute) and drain
+    them at epoch end -- per-epoch history identical to the
+    synchronous loop (metric_lag=0)."""
+    from joshupscale_tpu.training.trainer import fit
+
+    class Probe:
+        """Scalar whose host fetch is observable."""
+
+        def __init__(self, value, log):
+            self.value = value
+            self.log = log
+
+        def __array__(self, dtype=None):
+            self.log.append(self.value)
+            return np.asarray(self.value, dtype or np.float32)
+
+    def run(metric_lag):
+        fetched = []
+        calls = []
+
+        def fake_step(state, batch, step_rng):
+            i = len(calls)
+            calls.append(i)
+            # At dispatch time, the PREVIOUS step's metric must not
+            # have been fetched yet when metric_lag >= 1 and the
+            # previous step was in the SAME epoch (the deferral window
+            # drains at every epoch end for the NaN check).
+            if metric_lag >= 1 and i % 3 != 0:
+                assert float(i - 1) not in fetched, (i, fetched)
+            return state, {"loss": Probe(float(i), fetched)}
+
+        def batches():
+            while True:
+                yield {"input": np.zeros((1, 2, 2, 3), np.float32)}
+
+        _, history = fit(fake_step, state={}, train_data=batches(),
+                         epochs=2, steps_per_epoch=3,
+                         rng=jax.random.PRNGKey(0),
+                         log_fn=lambda _m: None, metric_lag=metric_lag)
+        return history, fetched
+
+    h_sync, f_sync = run(0)
+    h_lag, f_lag = run(1)
+    assert [e["train_loss"] for e in h_sync] == \
+        [e["train_loss"] for e in h_lag]
+    # Everything drained by the end of each epoch in both modes.
+    assert sorted(f_sync) == sorted(f_lag) == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]

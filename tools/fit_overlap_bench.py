@@ -1,0 +1,111 @@
+"""Measure fit()'s host/device overlap win from deferred metric fetch.
+
+The fit() loop historically fetched every execution's metrics to host
+(float(np.asarray(v)) per metric), blocking the host until the step
+finished before preparing the next batch -- through the remote tunnel
+that is a full round-trip per metric.  ``metric_lag`` holds the metric
+trees on device for a bounded window so host input prep overlaps
+device compute.  This tool times wall ms/step at the full GAN
+architecture (the reference's training workload) for lag 0 (the old
+synchronous loop) vs lag 1, with the synthetic-video host generator
+from tools/gan_soak.py providing a realistic per-step host cost.
+
+Usage: python tools/fit_overlap_bench.py [--steps 16] [--crop 32]
+       [--batch 4] [--dtype float32]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--crop", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--dtype", type=str, default="float32")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from joshupscale_tpu.models import create_models
+    from joshupscale_tpu.runtime.engine import enable_compilation_cache
+    from joshupscale_tpu.training import (
+        build_gan_step,
+        fit,
+        init_gan_state,
+        make_optimizer,
+    )
+
+    enable_compilation_cache()
+    config = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 64, "num_res_blocks": 10},
+        "generator": {"name": "generator-resnet", "num_filters": 64,
+                      "num_res_blocks": 24},
+        "discriminator": {"name": "discriminator", "alpha": 0.25},
+        "vgg": {"name": "vgg"},
+        "gan": {
+            "name": "gan",
+            "flow": {"model": "flow"},
+            "generator": {"model": "generator"},
+            "discriminator": {"model": "discriminator"},
+            "vgg": {"model": "vgg"},
+            "compute_dtype": args.dtype,
+        },
+    }
+    models = create_models(config, seed=0)
+    built = models["gan"]
+    gopt = make_optimizer(5e-5)
+    dopt = make_optimizer(5e-5)
+    step = build_gan_step(built.obj, gopt, dopt, built.params["vgg"])
+
+    rng = np.random.default_rng(0)
+    crop = args.crop
+
+    def batches():
+        # Same synthetic coherent-motion generator as tools/gan_soak.py
+        # -- the host cost being overlapped is this per-step work.
+        while True:
+            base = rng.random(
+                (args.batch, 1, crop * 4, crop * 4, 3), np.float32)
+            drift = rng.random(
+                (args.batch, 10, 1, 1, 3), np.float32) * 0.1
+            hr = np.clip(base + drift, 0.0, 1.0) - 0.5
+            lr = hr.reshape(
+                args.batch, 10, crop, 4, crop, 4, 3).mean((3, 5))
+            yield {"input": lr, "target": hr}
+
+    def run(metric_lag):
+        state = init_gan_state(
+            built.obj, built.params["gen"], built.params["discr"],
+            gopt, dopt)
+        # Warm-up epoch compiles (persistent cache) + pages everything.
+        state, _ = fit(step, state, batches(), epochs=1,
+                       steps_per_epoch=2, rng=jax.random.PRNGKey(0),
+                       log_fn=lambda _m: None, metric_lag=metric_lag)
+        t0 = time.perf_counter()
+        state, hist = fit(step, state, batches(), epochs=1,
+                          steps_per_epoch=args.steps,
+                          rng=jax.random.PRNGKey(1),
+                          log_fn=lambda _m: None, metric_lag=metric_lag)
+        dt = (time.perf_counter() - t0) / args.steps * 1e3
+        return dt, hist[0]["train_gen_loss"]
+
+    for lag in (0, 1):
+        ms, loss = run(lag)
+        print(f"metric_lag={lag}: {ms:.1f} ms/step wall "
+              f"(loss {loss:.4f})", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
