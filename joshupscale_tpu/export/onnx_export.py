@@ -166,13 +166,68 @@ class _GraphBuilder:
         return x
 
 
+def _emit_flow_net(g: _GraphBuilder, x: str, fp: Dict[str, Any]) -> str:
+    """Flow net body -> the 32-channel head feeding DepthToSpace.
+
+    Dispatches on the architecture recoverable from the param tree:
+    the resnet flow's head conv is 1x1 (models/fnet.py
+    flow_resnet_init), the autoencoder's is 3x3 (flow_autoencoder_init;
+    reference models.py get_flow_autoencoder :334-481 -- the PS2-style
+    pooling/upsampling ladder tf2onnx exports as MaxPool + Resize)."""
+    head_kh = np.asarray(fp["conv_2"]["kernel"]).shape[0]
+    if head_kh == 1:
+        k1, b1 = _fold_conv_bn(fp["conv_1"], fp["bn_1"])
+        x = g.conv(x, "flow.conv_1", k1, b1)
+        x = g.node("Relu", [x])
+        x = g.res_blocks(x, fp, "flow")
+    else:
+        names = sorted(
+            (k for k in fp if k.startswith("block_")),
+            key=lambda s: int(s.split("_")[1]))
+        half = len(names) // 2
+        for i, name in enumerate(names):
+            blk = fp[name]
+            k1, b1 = _fold_conv_bn(blk["conv_1"], blk["bn_1"])
+            x = g.conv(x, f"flow.{name}.conv_1", k1, b1)
+            x = g.node("Relu", [x])
+            k2, b2 = _fold_conv_bn(blk["conv_2"], blk["bn_2"])
+            x = g.conv(x, f"flow.{name}.conv_2", k2, b2)
+            x = g.node("Relu", [x])
+            if i < half:
+                x = g.node("MaxPool", [x], kernel_shape=[2, 2],
+                           strides=[2, 2], pads=[0, 0, 0, 0])
+            else:
+                x = g.node(
+                    "Resize",
+                    [x, "", g.tensor(f"flow.{name}.up_scales",
+                                     np.asarray([1, 1, 2, 2], np.float32),
+                                     keep_f32=True)],
+                    mode="linear",
+                    coordinate_transformation_mode="asymmetric")
+        if "conv_1" in fp:  # odd filter list: mid conv after the ladder
+            k1, b1 = _fold_conv_bn(fp["conv_1"], fp["bn_1"])
+            x = g.conv(x, "flow.conv_1", k1, b1)
+            x = g.node("Relu", [x])
+    return g.conv(x, "flow.conv_2", _np(fp["conv_2"]["kernel"]),
+                  fp["conv_2"]["bias"])
+
+
+# BGR luma weights in NCHW broadcast form (ops/image.py BGR_LUMA; x3 so
+# the mean over the 3 channels is the luma-weighted value -- reference
+# models.py get_inference_model 'brightness' Lambda).
+_BGR_LUMA_NCHW = np.asarray([0.1140, 0.5870, 0.2989],
+                            np.float32).reshape(1, 3, 1, 1) * 3.0
+
+
 def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
                 frame_width: int, num_flow_frames: int = 4,
                 frame_moving_avg: Any = None,
                 output_flow: bool = False,
                 remove_flow: bool = False,
                 fp16: bool = False,
-                int8_ranges: Dict[str, float] = None) -> None:
+                int8_ranges: Dict[str, float] = None,
+                flow_pad_factor: int = None,
+                normalize_brightness: bool = False) -> None:
     """Write the deployable ONNX graph for a resnet-flow + resnet-
     generator inference model (the reference's default architecture).
 
@@ -200,6 +255,20 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
     ``int8_ranges={conv path: calibrated input absmax}`` (reference
     quantize_int8.py QDQ form; get the ranges from
     ``export.quantize.calibrate``).  Mutually exclusive.
+
+    Flow-side options (the autoencoder/PS2-style serving configs;
+    reference models.py get_inference_model :680-830 builds these into
+    the exported Keras graph, so the reference's ONNX door carries
+    them too):
+
+    - ``flow_pad_factor``: zero-pad the flow net's input frames to a
+      size multiple (pooling ladders need it); the flow field is
+      sliced back to the frame size and the ``last_frame_i`` state
+      tensors are carried at the PADDED size.
+    - ``normalize_brightness``: mean-luma is subtracted before the
+      flow net, re-added to the warped frame, and subtracted again
+      from the recurrent ``output_raw`` state; the display ``output``
+      keeps true brightness.
     """
     if fp16 and int8_ranges:
         raise ValueError("fp16 and int8_ranges are mutually exclusive")
@@ -208,6 +277,12 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
             raise ValueError(
                 "remove_flow excludes frame_moving_avg/output_flow "
                 "(there is no warp to blend or display)")
+        if flow_pad_factor or normalize_brightness:
+            raise ValueError(
+                "remove_flow excludes flow_pad_factor/"
+                "normalize_brightness (the flow net is removed and the "
+                "model ignores them -- models/inference.py remove_flow "
+                "branch)")
         _export_remove_flow(path, params, frame_height,
                             frame_width, fp16=fp16,
                             int8_ranges=int8_ranges)
@@ -218,6 +293,11 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
             "have nothing to blend")
     h, w = frame_height, frame_width
     hr_h, hr_w = h * 4, w * 4
+    if flow_pad_factor:
+        f = int(flow_pad_factor)
+        ph, pw = ((h + f - 1) // f) * f, ((w + f - 1) // f) * f
+    else:
+        ph, pw = h, w
     k = num_flow_frames - 1
     g = _GraphBuilder(fp16, int8_ranges)
 
@@ -228,7 +308,7 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
     for i in range(k):
         inputs.append(
             om.make_value_info(f"last_frame_{i}", g.float_type,
-                               [1, 3, h, w]))
+                               [1, 3, ph, pw]))
 
     # ---- preprocess (remove_uint8 keeps the scale arithmetic) --------
     t_cur = g.node("Transpose", ["cur_frame"], perm=[0, 3, 1, 2])
@@ -237,18 +317,51 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
     pre = g.node("Sub", [g.node("Mul", [t_cur, scale]), half],
                  out="pre")
 
+    # ---- brightness normalization (per-sample mean luma) -------------
+    bright = None
+    cur_pad = pre
+    if normalize_brightness:
+        bright = g.node(
+            "ReduceMean",
+            [g.node("Mul", [pre, g.tensor("bright.luma",
+                                          _BGR_LUMA_NCHW)])],
+            axes=[1, 2, 3], keepdims=1, out="brightness")
+        cur_pad = g.node("Sub", [pre, bright])
+
+    # ---- flow-input padding ------------------------------------------
+    if (ph, pw) != (h, w):
+        top, left = (ph - h) // 2, (pw - w) // 2
+        pads = np.asarray(
+            [0, 0, top, left, 0, 0, ph - h - top, pw - w - left],
+            np.int64)
+        cur_pad = g.node(
+            "Pad", [cur_pad, g.tensor("pad.pads", pads)],
+            mode="constant")
+    cur_pad = g.node("Identity", [cur_pad], out="cur_pad")
+
     # ---- flow net ----------------------------------------------------
     fp = params["flow"]
     x = g.node("Concat",
-               [pre] + [f"last_frame_{i}" for i in range(k)], axis=1)
-    k1, b1 = _fold_conv_bn(fp["conv_1"], fp["bn_1"])
-    x = g.conv(x, "flow.conv_1", k1, b1)
-    x = g.node("Relu", [x])
-    x = g.res_blocks(x, fp, "flow")
-    x = g.conv(x, "flow.conv_2", _np(fp["conv_2"]["kernel"]),
-               fp["conv_2"]["bias"])
+               [cur_pad] + [f"last_frame_{i}" for i in range(k)], axis=1)
+    x = _emit_flow_net(g, x, fp)
     flow = g.node("DepthToSpace", [x], blocksize=4, mode="DCR",
                   out="flow")
+    if (ph, pw) != (h, w):
+        # Un-pad the flow field back to the frame's HR grid (reference
+        # get_inference_model 'unpad' Lambda).
+        oy, ox = ((ph - h) // 2) * 4, ((pw - w) // 2) * 4
+        for axis, start, size in ((2, oy, hr_h), (3, ox, hr_w)):
+            flow = g.node(
+                "Slice",
+                [flow,
+                 g.tensor(f"unpad{axis}.start",
+                          np.asarray([start], np.int64)),
+                 g.tensor(f"unpad{axis}.end",
+                          np.asarray([start + size], np.int64)),
+                 g.tensor(f"unpad{axis}.axis",
+                          np.asarray([axis], np.int64)),
+                 g.tensor(f"unpad{axis}.step",
+                          np.asarray([1], np.int64))])
 
     # ---- dense warp as GridSample (replace_dense_warp semantics) ----
     flow_nhwc = g.node("Transpose", [flow], perm=[0, 2, 3, 1])
@@ -276,16 +389,25 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
                 [-1 + 1 / hr_w, -1 + 1 / hr_h], np.float32))])
     pre_warp = g.node(
         "GridSample", ["pre_gen", grid], mode="bilinear",
-        padding_mode="border", align_corners=0, out="pre_warp")
+        padding_mode="border", align_corners=0,
+        out=None if normalize_brightness else "pre_warp")
+    if normalize_brightness:
+        # The recurrent state is carried at normalized brightness;
+        # the generator sees the warp at the CURRENT frame's
+        # brightness (reference get_inference_model: pre_warp +=
+        # brightness).
+        pre_warp = g.node("Add", [pre_warp, bright], out="pre_warp")
 
+    # ``display`` is the true-brightness tensor feeding the u8 output;
+    # ``output_raw`` (the recurrent state) re-subtracts brightness.
     if output_flow:
         # Reference surgery: the clip node's input becomes the warped
         # frame; the generator body is dead and never emitted
         # (onnx/output_flow.py:64-77 + the simplify pass).
-        out_raw = g.node(
+        display = g.node(
             "Clip", [pre_warp, g.tensor("clip.min", np.float32(-0.5)),
                      g.tensor("clip.max", np.float32(0.5))],
-            out="output_raw")
+            out=None if normalize_brightness else "output_raw")
     else:
         # ---- generator -----------------------------------------------
         gp = params["generator"]
@@ -316,21 +438,26 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
                                keep_f32=True)],
             mode="linear", coordinate_transformation_mode="asymmetric")
         x = g.node("Add", [up, x])
+        raw_name = ("output_pre_mask" if frame_moving_avg is not None
+                    else None if normalize_brightness else "output_raw")
         clipped = g.node(
             "Clip", [x, g.tensor("clip.min", np.float32(-0.5)),
                      g.tensor("clip.max", np.float32(0.5))],
-            out="output_pre_mask" if frame_moving_avg is not None
-            else "output_raw")
-        out_raw = clipped
+            out=raw_name)
+        display = clipped
         if frame_moving_avg is not None:
-            out_raw = _emit_moving_avg(
-                g, clipped, pre_warp, frame_moving_avg, hr_h, hr_w)
+            display = _emit_moving_avg(
+                g, clipped, pre_warp, frame_moving_avg, hr_h, hr_w,
+                out_name=None if normalize_brightness else "output_raw")
+
+    if normalize_brightness:
+        g.node("Sub", [display, bright], out="output_raw")
 
     # ---- postprocess + outputs --------------------------------------
-    post = g.node("Mul", [g.node("Add", [out_raw, half]),
+    post = g.node("Mul", [g.node("Add", [display, half]),
                           g.tensor("post.scale", np.float32(255.0))])
     g.node("Transpose", [post], perm=[0, 2, 3, 1], out="output")
-    g.node("Identity", [pre], out="out_frame_0")
+    g.node("Identity", [cur_pad], out="out_frame_0")
     for i in range(k - 1):
         g.node("Identity", [f"last_frame_{i}"], out=f"out_frame_{i + 1}")
 
@@ -340,7 +467,7 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
                                   [1, 3, hr_h, hr_w])]
     for i in range(k):
         outputs.append(om.make_value_info(f"out_frame_{i}", g.float_type,
-                                          [1, 3, h, w]))
+                                          [1, 3, ph, pw]))
 
     graph = om.make_graph("joshupscale", g.nodes, inputs, outputs,
                           g.inits)
@@ -355,7 +482,8 @@ _LUMA_NORM = np.asarray([0.1140, 0.5870, 0.2989],
 
 
 def _emit_moving_avg(g: _GraphBuilder, clipped: str, pre_warp: str,
-                     config: Any, hr_h: int, hr_w: int) -> str:
+                     config: Any, hr_h: int, hr_w: int,
+                     out_name: str = "output_raw") -> str:
     """Splice the temporal-stabilization blend between the generator
     clip and the output (reference frame_moving_avg.py:152-307): the
     returned tensor feeds both display and the recurrence.  NCHW."""
@@ -457,7 +585,7 @@ def _emit_moving_avg(g: _GraphBuilder, clipped: str, pre_warp: str,
     return g.node(
         "Add", [g.node("Mul", [warp, mask]),
                 g.node("Mul", [clipped, mask2])],
-        out="output_raw")
+        out=out_name)
 
 
 def _export_remove_flow(path: str, params: Dict[str, Any],

@@ -186,8 +186,27 @@ def run_graph(model: Dict[str, Any],
         elif op == "Max":
             r = np.maximum(i[0], i[1])
         elif op == "ReduceMean":
-            # Default attrs (the only form emitted): all axes, keepdims.
-            r = np.mean(i[0], keepdims=True)
+            # Opset-16 form: axes as an attribute (absent = all axes),
+            # keepdims defaulting to 1.
+            axes = a.get("axes")
+            r = np.mean(i[0], axis=tuple(axes) if axes else None,
+                        keepdims=bool(a.get("keepdims", 1)))
+        elif op == "Pad":
+            pads = np.asarray(i[1], np.int64)
+            nd = i[0].ndim
+            width = [(int(pads[d]), int(pads[d + nd])) for d in range(nd)]
+            cval = 0.0 if len(i) < 3 or i[2] is None \
+                else float(np.asarray(i[2]))
+            assert a.get("mode", "constant") == "constant"
+            r = np.pad(i[0], width, constant_values=cval)
+        elif op == "MaxPool":
+            kh, kw = a["kernel_shape"]
+            sh, sw = a["strides"]
+            assert (kh, kw) == (sh, sw) and not any(a.get("pads", []))
+            n, c, hh, ww = i[0].shape
+            r = (i[0][:, :, :hh - hh % kh, :ww - ww % kw]
+                 .reshape(n, c, hh // kh, kh, ww // kw, kw)
+                 .max(axis=(3, 5)))
         elif op == "QuantizeLinear":
             scale = _qdq_scale(i[1], i[0].ndim, a.get("axis"))
             # ONNX rounds half to even (np.round semantics).
@@ -247,11 +266,14 @@ class OnnxClipRunner:
         if self.stateless:
             self.feeds: Dict[str, np.ndarray] = {}
             return
+        # State shapes come from the graph's own input value infos --
+        # flow_pad_factor graphs carry last_frame_i at the PADDED size.
+        shapes = {vi["name"]: vi["shape"] for vi in self.model["inputs"]}
         self.feeds = {
-            "pre_gen": np.zeros((1, 3, 4 * self.h, 4 * self.w),
-                                self.dtype),
-            **{f"last_frame_{i}": np.zeros((1, 3, self.h, self.w),
-                                           self.dtype)
+            "pre_gen": np.zeros(shapes.get(
+                "pre_gen", (1, 3, 4 * self.h, 4 * self.w)), self.dtype),
+            **{f"last_frame_{i}": np.zeros(shapes.get(
+                f"last_frame_{i}", (1, 3, self.h, self.w)), self.dtype)
                for i in range(self.num_last)},
         }
 

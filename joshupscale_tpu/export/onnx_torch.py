@@ -176,7 +176,24 @@ def run_graph_torch(model: Dict[str, Any],
         elif op == "Max":
             r = torch.maximum(i[0], i[1])
         elif op == "ReduceMean":
-            r = i[0].mean(dim=tuple(range(i[0].ndim)), keepdim=True)
+            axes = a.get("axes")
+            dims = tuple(axes) if axes else tuple(range(i[0].ndim))
+            r = i[0].mean(dim=dims, keepdim=bool(a.get("keepdims", 1)))
+        elif op == "Pad":
+            pads = i[1].tolist()
+            nd = i[0].ndim
+            # ONNX [begins..., ends...] -> F.pad last-dim-first pairs.
+            flat = []
+            for d in range(nd - 1, -1, -1):
+                flat += [int(pads[d]), int(pads[d + nd])]
+            cval = 0.0 if len(i) < 3 or i[2] is None else float(i[2])
+            assert a.get("mode", "constant") == "constant"
+            r = torch.nn.functional.pad(i[0], flat, value=cval)
+        elif op == "MaxPool":
+            assert not any(a.get("pads", []))
+            r = torch.nn.functional.max_pool2d(
+                i[0], kernel_size=tuple(a["kernel_shape"]),
+                stride=tuple(a["strides"]))
         elif op == "QuantizeLinear":
             scale = _qdq_scale_t(i[1], i[0].ndim, a.get("axis"))
             # torch.round is round-half-to-even, the ONNX rule.

@@ -164,7 +164,12 @@ def flow_autoencoder_init(
     params["conv_2"] = conv2d_init(
         keys[-1], 3, in_ch, 32, use_bias=True, dtype=dtype
     )
-    params["_meta"] = {"filters": tuple(filters)}
+    # NOTE: keep _meta leaf-free -- the param tree goes through
+    # jax.value_and_grad in the trainers, and integer leaves (e.g. a
+    # filters tuple) are not differentiable.  The ladder structure is
+    # fully recoverable from the param names (see
+    # flow_autoencoder_apply).
+    params["_meta"] = {}
     return params
 
 
@@ -177,13 +182,19 @@ def flow_autoencoder_apply(
     s2d_output: bool = False,
 ):
     """Apply autoencoder FNet: down (conv-conv-pool) x K, up
-    (conv-conv-bilinear2x) x K, optional mid conv, 32ch head, d2s(4)."""
+    (conv-conv-bilinear2x) x K, optional mid conv, 32ch head, d2s(4).
+
+    The ladder structure is derived from the param tree itself (half
+    the ``block_i`` entries are down blocks, half up; a top-level
+    ``conv_1`` is the mid conv of an odd filter list), so ``filters``
+    is only needed to override that (it never is in practice)."""
     mut = mut or Mutables(False)
     act = get_activation(activation)
-    if filters is None:
-        meta = params.get("_meta", {})
-        filters = list(meta.get("filters", DEFAULT_AE_FILTERS))
-    block_count = len(filters) // 2
+    if filters is not None:
+        block_count = len(filters) // 2
+    else:
+        block_count = sum(1 for k in params
+                          if k.startswith("block_")) // 2
     out = jnp.concatenate(frames, axis=-1)
     for i in range(block_count):
         name = f"block_{i + 1}"
@@ -193,7 +204,7 @@ def flow_autoencoder_apply(
         name = f"block_{i + 1}"
         out = _double_conv_apply(params[name], out, activation, mut, name)
         out = upscale_bilinear(out.astype(jnp.float32), 2).astype(out.dtype)
-    if len(filters) % 2:
+    if "conv_1" in params:  # odd filter list: mid conv after the ladder
         out = conv2d(params["conv_1"], out)
         out = mut.bn(params["bn_1"], "bn_1", out)
         out = act(out)

@@ -87,9 +87,10 @@ def _build_flow_autoencoder(key, *, num_inputs=4, filters=None,
     params = fnet.flow_autoencoder_init(
         key, num_inputs=num_inputs, filters=filters, dtype=dtype
     )
-    used = list(filters) if filters else list(fnet.DEFAULT_AE_FILTERS)
+    # No filters kwarg: the apply derives the ladder structure from the
+    # param tree, so weights loaded with a different ladder still run.
     apply = functools.partial(
-        fnet.flow_autoencoder_apply, activation=activation, filters=used
+        fnet.flow_autoencoder_apply, activation=activation
     )
     return BuiltModel(
         kind="flow-autoencoder", params=params, apply=apply,

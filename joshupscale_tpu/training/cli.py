@@ -307,36 +307,29 @@ def _export(export_cfg, config, models, built, state) -> None:
             from joshupscale_tpu.export.onnx_export import export_onnx
 
             m = inference.obj
-            # Options that change serving semantics and have no ONNX
-            # emission must fail the export loudly -- a silently
-            # non-equivalent deployment artifact is worse than none.
-            unsupported = {
-                "flow_pad_factor": m.flow_pad_factor,
-                "normalize_brightness": m.normalize_brightness,
-            }
-            bad = [k for k, v in unsupported.items() if v]
-            if bad:
-                raise ValueError(
-                    "ONNX export does not support model option(s) "
-                    f"{bad}; drop them from the serving config or "
-                    "disable export.onnx")
+            onnx_opts = dict(
+                num_flow_frames=m.num_flow_frames,
+                frame_moving_avg=m.frame_moving_avg,
+                output_flow=m.output_flow,
+                remove_flow=m.remove_flow,
+                # The model's remove_flow branch ignores the flow-side
+                # options (models/inference.py), so the exported graph
+                # drops them too.
+                flow_pad_factor=(None if m.remove_flow
+                                 else m.flow_pad_factor),
+                normalize_brightness=(False if m.remove_flow
+                                      else m.normalize_brightness),
+            )
             onnx_path = os.path.join(out_dir, "model.onnx")
             try:
                 export_onnx(onnx_path, inference.params,
-                            m.frame_height, m.frame_width,
-                            num_flow_frames=m.num_flow_frames,
-                            frame_moving_avg=m.frame_moving_avg,
-                            output_flow=m.output_flow,
-                            remove_flow=m.remove_flow)
+                            m.frame_height, m.frame_width, **onnx_opts)
                 print(f"exported ONNX graph to {onnx_path}")
                 if export_cfg.get("onnx_fp16"):
                     fp16_path = os.path.join(out_dir, "model_fp16.onnx")
                     export_onnx(fp16_path, inference.params,
                                 m.frame_height, m.frame_width,
-                                num_flow_frames=m.num_flow_frames,
-                                frame_moving_avg=m.frame_moving_avg,
-                                output_flow=m.output_flow,
-                                remove_flow=m.remove_flow, fp16=True)
+                                fp16=True, **onnx_opts)
                     print(f"exported fp16 ONNX graph to {fp16_path}")
             except (KeyError, NotImplementedError) as exc:
                 print(f"ONNX export skipped (unsupported arch): {exc}")

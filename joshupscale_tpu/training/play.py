@@ -105,13 +105,23 @@ class PlayCallback:
 
     def __init__(self, model, play_batch: Dict[str, np.ndarray],
                  out_dir: str, interval: int = 1, tb_logger=None):
+        import dataclasses
+
         from joshupscale_tpu.training.frvsr import preprocess_batch
 
-        self.model = model
         # u8 play batches (device-normalize pipelines) -> floats once.
         self.inputs = preprocess_batch(jnp.asarray(play_batch["input"]))
         self.targets = preprocess_batch(
             jnp.asarray(play_batch["target"]))
+        # The play clip is a TRAINING crop; the serving config's frame
+        # dims (e.g. 480x270) are unrelated, and init_state sizes the
+        # recurrent state from the model's dims -- so re-dimension the
+        # model to the clip (pad geometry follows automatically).
+        h, w = self.inputs.shape[2], self.inputs.shape[3]
+        if (model.frame_height, model.frame_width) != (h, w):
+            model = dataclasses.replace(
+                model, frame_height=h, frame_width=w)
+        self.model = model
         self.out_dir = out_dir
         self.interval = max(int(interval), 1)
         self.tb_logger = tb_logger

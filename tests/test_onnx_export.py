@@ -227,10 +227,11 @@ def test_onnx_to_npz_tool_roundtrip(built_model, tmp_path):
 # over a recurrent clip and compared against the ENGINE built with the
 # same model option.
 
-def _variant_config(**inference_opts):
+def _variant_config(_flow=None, _h=H, _w=W, **inference_opts):
     config = {
-        "flow": {"name": "flow-resnet", "num_inputs": 4,
-                 "num_filters": FILTERS, "num_res_blocks": FLOW_BLOCKS},
+        "flow": _flow or {"name": "flow-resnet", "num_inputs": 4,
+                          "num_filters": FILTERS,
+                          "num_res_blocks": FLOW_BLOCKS},
         "generator": {"name": "generator-resnet",
                       "num_filters": FILTERS,
                       "num_res_blocks": GEN_BLOCKS},
@@ -239,13 +240,25 @@ def _variant_config(**inference_opts):
                       "flow": {"model": "flow"},
                       "skip_processing": False,
                       "s2d_mode": False,
-                      "frame_height": H, "frame_width": W,
+                      "frame_height": _h, "frame_width": _w,
                       **inference_opts},
     }
     if inference_opts.get("remove_flow"):
         del config["flow"]
         del config["inference"]["flow"]
     return config
+
+
+def _export_variant(path, built):
+    """export_onnx with every model-derived deployment option."""
+    m = built.obj
+    export_onnx(path, built.params, m.frame_height, m.frame_width,
+                num_flow_frames=m.num_flow_frames,
+                frame_moving_avg=m.frame_moving_avg,
+                output_flow=m.output_flow,
+                remove_flow=m.remove_flow,
+                flow_pad_factor=m.flow_pad_factor,
+                normalize_brightness=m.normalize_brightness)
 
 
 @pytest.mark.parametrize("opts", [
@@ -259,8 +272,16 @@ def _variant_config(**inference_opts):
                           "luma_normalize": True, "limit": True}},
     {"output_flow": True},
     {"remove_flow": True},
+    # Brightness normalization alone (resnet flow): ReduceMean-luma
+    # sub/re-add/re-sub chain around the flow net and the state output
+    # (reference get_inference_model :773-810).
+    {"normalize_brightness": True},
+    # ...and spliced together with the moving-avg surgery: the blend
+    # runs at true brightness, the recurrence re-subtracts after.
+    {"frame_moving_avg": {"strength": 0.25, "threshold": 0.1},
+     "normalize_brightness": True},
 ], ids=["moving_avg_global", "moving_avg_windowed", "output_flow",
-        "remove_flow"])
+        "remove_flow", "brightness", "moving_avg_brightness"])
 def test_variant_export_matches_engine(opts, tmp_path):
     from joshupscale_tpu.export.onnx_interp import OnnxClipRunner
     from joshupscale_tpu.models import create_models
@@ -269,11 +290,7 @@ def test_variant_export_matches_engine(opts, tmp_path):
     built = create_models(_variant_config(**opts), seed=11)["inference"]
     path = str(tmp_path / "variant.onnx")
     m = built.obj
-    export_onnx(path, built.params, H, W,
-                num_flow_frames=4,
-                frame_moving_avg=m.frame_moving_avg,
-                output_flow=m.output_flow,
-                remove_flow=m.remove_flow)
+    _export_variant(path, built)
 
     runner = OnnxClipRunner(path, H, W, stateless=m.remove_flow)
     eng = Engine(m, built.params)
@@ -291,6 +308,59 @@ def test_variant_export_matches_engine(opts, tmp_path):
         assert d <= 1, f"{opts}: frame {t} max u8 diff {d}"
 
 
+def test_autoencoder_pad_brightness_export_matches_engine(tmp_path):
+    """The PS2-style serving config in one graph: AUTOENCODER flow
+    (MaxPool/Resize ladder), flow_pad_factor (36x44 padded to 40x48,
+    flow sliced back) and normalize_brightness -- the options the
+    reference bakes into its exported inference model
+    (models.py get_inference_model :680-830).  Structure checks +
+    engine parity + the independent torch oracle over a recurrent
+    clip."""
+    from joshupscale_tpu.export.onnx_interp import OnnxClipRunner
+    from joshupscale_tpu.export.onnx_torch import run_graph_torch
+    from joshupscale_tpu.models import create_models
+    from joshupscale_tpu.runtime.engine import Engine
+
+    h2, w2 = 36, 44
+    built = create_models(_variant_config(
+        _flow={"name": "flow-autoencoder", "num_inputs": 4,
+               "filters": [FILTERS, 2 * FILTERS, FILTERS]},
+        _h=h2, _w=w2,
+        flow_pad_factor=8, normalize_brightness=True,
+    ), seed=13)["inference"]
+    path = str(tmp_path / "ae.onnx")
+    _export_variant(path, built)
+
+    m = om.decode_model(open(path, "rb").read())
+    ops = [n["op_type"] for n in m["nodes"]]
+    assert ops.count("MaxPool") == 1      # one down block
+    assert ops.count("Pad") == 1          # 36x44 -> 40x48
+    # One up-block 2x Resize + the bilinear x4 skip.
+    assert ops.count("Resize") == 2
+    assert ops.count("ReduceMean") == 1   # the brightness term
+    # Padded state tensors ride the graph I/O (40x48, not 36x44).
+    shapes = {vi["name"]: vi["shape"] for vi in m["inputs"]}
+    assert shapes["last_frame_0"] == [1, 3, 40, 48]
+    outs = {vi["name"]: vi["shape"] for vi in m["outputs"]}
+    assert outs["out_frame_0"] == [1, 3, 40, 48]
+    assert outs["output"] == [1, 4 * h2, 4 * w2, 3]
+
+    eng = Engine(built.obj, built.params)
+    runners = [OnnxClipRunner(m, h2, w2),
+               OnnxClipRunner(m, h2, w2, executor=run_graph_torch)]
+    rng = np.random.default_rng(31)
+    # A drifting-brightness clip so the normalization term is live.
+    base = rng.integers(0, 200, (h2, w2, 3), np.uint8)
+    for t in range(4):
+        frame = np.clip(base.astype(int) + 12 * t, 0, 255).astype(
+            np.uint8)
+        ours = eng.process(frame)
+        for name, runner in zip(("numpy", "torch"), runners):
+            theirs = runner.process(frame)
+            d = np.abs(ours.astype(int) - theirs.astype(int)).max()
+            assert d <= 1, f"{name}: frame {t} max u8 diff {d}"
+
+
 def test_variant_export_rejects_contradictory_options(built_model,
                                                       tmp_path):
     with pytest.raises(ValueError):
@@ -300,6 +370,9 @@ def test_variant_export_rejects_contradictory_options(built_model,
         export_onnx(str(tmp_path / "x.onnx"), built_model.params, H, W,
                     output_flow=True,
                     frame_moving_avg={"strength": 0.5})
+    with pytest.raises(ValueError):
+        export_onnx(str(tmp_path / "x.onnx"), built_model.params, H, W,
+                    remove_flow=True, normalize_brightness=True)
 
 
 def test_fp16_export_quality_and_structure(built_model, tmp_path):

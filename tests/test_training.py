@@ -703,3 +703,67 @@ def test_fit_metric_lag_defers_fetch_without_changing_results(rng):
         [e["train_loss"] for e in h_lag]
     # Everything drained by the end of each epoch in both modes.
     assert sorted(f_sync) == sorted(f_lag) == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_frvsr_step_trains_autoencoder_flow(rng):
+    """Regression: the autoencoder flow must be trainable.  Its param
+    tree used to carry an int ``_meta.filters`` tuple, which
+    jax.value_and_grad rejects (non-inexact leaves); the ladder
+    structure now derives from the param names instead."""
+    cfg = {
+        "flow": {"name": "flow-autoencoder", "num_inputs": 4,
+                 "filters": [8, 16, 8]},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "frvsr": {"name": "frvsr", "flow": {"model": "flow"},
+                  "generator": {"model": "generator"}},
+    }
+    models = create_models(cfg, seed=0)
+    trainer = models["frvsr"].obj
+    params = models["frvsr"].params
+    opt = make_optimizer(1e-3)
+    step = build_frvsr_step(trainer, opt)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    batch = _batch(rng)
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_play_callback_resizes_model_to_clip(rng, tmp_path):
+    """Regression: the play clip is a TRAINING crop while the inference
+    model arrives configured at the SERVING frame size (and possibly
+    flow_pad_factor); PlayCallback must re-dimension the model to the
+    clip or init_state builds mismatched recurrent state."""
+    from joshupscale_tpu.training.play import PlayCallback
+
+    cfg = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "inference": {"name": "inference",
+                      "flow": {"model": "flow"},
+                      "generator": {"model": "generator"},
+                      "skip_processing": True, "s2d_mode": False,
+                      "frame_height": 36, "frame_width": 44,
+                      "flow_pad_factor": 8,
+                      "normalize_brightness": True},
+    }
+    models = create_models(cfg, seed=0)
+    built = models["inference"]
+    play_batch = {
+        "input": rng.random((1, 10, CROP, CROP, 3), np.float32) - 0.5,
+        "target": rng.random(
+            (1, 10, CROP * 4, CROP * 4, 3), np.float32) - 0.5,
+    }
+    cb = PlayCallback(built.obj, play_batch, str(tmp_path))
+    assert (cb.model.frame_height, cb.model.frame_width) == (CROP, CROP)
+    state = TrainState(built.params, None, jnp.zeros((), jnp.int32))
+    cb(0, state, {})
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path),
+                                       "play_e0000_0.gif"))
