@@ -36,6 +36,7 @@ import numpy as np
 
 from joshupscale_tpu.export import onnx_minimal as om
 from joshupscale_tpu.models.common import BN_EPS
+from joshupscale_tpu.ops.image import BGR_LUMA
 
 
 def _np(x) -> np.ndarray:
@@ -212,11 +213,12 @@ def _emit_flow_net(g: _GraphBuilder, x: str, fp: Dict[str, Any]) -> str:
                   fp["conv_2"]["bias"])
 
 
-# BGR luma weights in NCHW broadcast form (ops/image.py BGR_LUMA; x3 so
-# the mean over the 3 channels is the luma-weighted value -- reference
-# models.py get_inference_model 'brightness' Lambda).
-_BGR_LUMA_NCHW = np.asarray([0.1140, 0.5870, 0.2989],
-                            np.float32).reshape(1, 3, 1, 1) * 3.0
+# BGR luma weights in NCHW broadcast form (single source:
+# ops/image.py BGR_LUMA; x3 so the mean over the 3 channels is the
+# luma-weighted value -- reference models.py get_inference_model
+# 'brightness' Lambda).
+_BGR_LUMA_NCHW = np.asarray(
+    BGR_LUMA, np.float32).reshape(1, 3, 1, 1) * 3.0
 
 
 def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
@@ -277,12 +279,10 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
             raise ValueError(
                 "remove_flow excludes frame_moving_avg/output_flow "
                 "(there is no warp to blend or display)")
-        if flow_pad_factor or normalize_brightness:
-            raise ValueError(
-                "remove_flow excludes flow_pad_factor/"
-                "normalize_brightness (the flow net is removed and the "
-                "model ignores them -- models/inference.py remove_flow "
-                "branch)")
+        # flow_pad_factor / normalize_brightness are flow-side options;
+        # the model's remove_flow branch ignores them
+        # (models/inference.py), so the exported graph drops them too
+        # and callers may pass the model's fields verbatim.
         _export_remove_flow(path, params, frame_height,
                             frame_width, fp16=fp16,
                             int8_ranges=int8_ranges)
@@ -337,7 +337,6 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
         cur_pad = g.node(
             "Pad", [cur_pad, g.tensor("pad.pads", pads)],
             mode="constant")
-    cur_pad = g.node("Identity", [cur_pad], out="cur_pad")
 
     # ---- flow net ----------------------------------------------------
     fp = params["flow"]
@@ -476,9 +475,9 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
 
 
 # BGR luma weights, reference frame_moving_avg.py LUMA_NORM (x3 so the
-# weighted mean over 3 channels averages to a luma-weighted value).
-_LUMA_NORM = np.asarray([0.1140, 0.5870, 0.2989],
-                        np.float32).reshape(1, 3, 1, 1) * 3
+# weighted mean over 3 channels averages to a luma-weighted value;
+# same triple as the brightness term, single-sourced above).
+_LUMA_NORM = _BGR_LUMA_NCHW
 
 
 def _emit_moving_avg(g: _GraphBuilder, clipped: str, pre_warp: str,

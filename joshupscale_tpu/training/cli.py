@@ -312,13 +312,8 @@ def _export(export_cfg, config, models, built, state) -> None:
                 frame_moving_avg=m.frame_moving_avg,
                 output_flow=m.output_flow,
                 remove_flow=m.remove_flow,
-                # The model's remove_flow branch ignores the flow-side
-                # options (models/inference.py), so the exported graph
-                # drops them too.
-                flow_pad_factor=(None if m.remove_flow
-                                 else m.flow_pad_factor),
-                normalize_brightness=(False if m.remove_flow
-                                      else m.normalize_brightness),
+                flow_pad_factor=m.flow_pad_factor,
+                normalize_brightness=m.normalize_brightness,
             )
             onnx_path = os.path.join(out_dir, "model.onnx")
             try:

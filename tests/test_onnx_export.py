@@ -370,9 +370,15 @@ def test_variant_export_rejects_contradictory_options(built_model,
         export_onnx(str(tmp_path / "x.onnx"), built_model.params, H, W,
                     output_flow=True,
                     frame_moving_avg={"strength": 0.5})
-    with pytest.raises(ValueError):
-        export_onnx(str(tmp_path / "x.onnx"), built_model.params, H, W,
-                    remove_flow=True, normalize_brightness=True)
+    # remove_flow IGNORES the flow-side options (the model's
+    # remove_flow branch does, models/inference.py), so callers may
+    # pass their model's fields verbatim.
+    p = str(tmp_path / "rf.onnx")
+    export_onnx(p, built_model.params, H, W, remove_flow=True,
+                flow_pad_factor=8, normalize_brightness=True)
+    m = om.decode_model(open(p, "rb").read())
+    ops = {n["op_type"] for n in m["nodes"]}
+    assert "Pad" not in ops and "ReduceMean" not in ops
 
 
 def test_fp16_export_quality_and_structure(built_model, tmp_path):

@@ -21,8 +21,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+_TOOLS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_TOOLS))
+sys.path.insert(0, _TOOLS)  # for the shared gan_soak generator
 
 
 def main():
@@ -68,21 +69,17 @@ def main():
     dopt = make_optimizer(5e-5)
     step = build_gan_step(built.obj, gopt, dopt, built.params["vgg"])
 
-    rng = np.random.default_rng(0)
+    from gan_soak import synth_video_batch
+
     crop = args.crop
 
     def batches():
-        # Same synthetic coherent-motion generator as tools/gan_soak.py
-        # -- the host cost being overlapped is this per-step work.
+        # The soak workload's own generator -- the host cost being
+        # overlapped is this per-step work.  Fresh rng per run so the
+        # lag-0 and lag-1 timed runs consume IDENTICAL batches.
+        rng = np.random.default_rng(0)
         while True:
-            base = rng.random(
-                (args.batch, 1, crop * 4, crop * 4, 3), np.float32)
-            drift = rng.random(
-                (args.batch, 10, 1, 1, 3), np.float32) * 0.1
-            hr = np.clip(base + drift, 0.0, 1.0) - 0.5
-            lr = hr.reshape(
-                args.batch, 10, crop, 4, crop, 4, 3).mean((3, 5))
-            yield {"input": lr, "target": hr}
+            yield synth_video_batch(rng, args.batch, crop)
 
     def run(metric_lag):
         state = init_gan_state(

@@ -18,6 +18,19 @@ import time
 import numpy as np
 
 
+def synth_video_batch(rng, batch_size, crop):
+    """Synthetic "video" batch: smooth random fields with temporal
+    drift so the flow/warp terms see coherent motion.  Shared with
+    tools/fit_overlap_bench.py so the overlap benchmark's host cost is
+    exactly this soak workload's."""
+    base = rng.random(
+        (batch_size, 1, crop * 4, crop * 4, 3), np.float32)
+    drift = rng.random((batch_size, 10, 1, 1, 3), np.float32) * 0.1
+    hr = np.clip(base + drift, 0.0, 1.0) - 0.5
+    lr = hr.reshape(batch_size, 10, crop, 4, crop, 4, 3).mean((3, 5))
+    return {"input": lr, "target": hr}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
@@ -73,16 +86,8 @@ def main():
     crop = args.crop
 
     def batch(i):
-        # Synthetic "video": smooth random fields with temporal drift so
-        # flow/warp terms see coherent motion.
-        base = rng.random(
-            (args.batch, 1, crop * 4, crop * 4, 3), np.float32)
-        drift = rng.random(
-            (args.batch, 10, 1, 1, 3), np.float32) * 0.1
-        hr = np.clip(base + drift, 0.0, 1.0) - 0.5
-        lr = hr.reshape(args.batch, 10, crop, 4, crop, 4, 3).mean(
-            (3, 5))
-        return {"input": jnp.asarray(lr), "target": jnp.asarray(hr)}
+        b = synth_video_batch(rng, args.batch, crop)
+        return {k: jnp.asarray(v) for k, v in b.items()}
 
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()

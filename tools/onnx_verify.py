@@ -56,13 +56,20 @@ def main() -> int:
 
     eng = create_runtime(args.package, frame_size=(h, w))
     onnx_path = args.out or os.path.join(args.package, "model.onnx")
+    m = eng.model
     export_onnx(onnx_path, eng.params, h, w,
-                num_flow_frames=eng.model.num_flow_frames)
+                num_flow_frames=m.num_flow_frames,
+                frame_moving_avg=m.frame_moving_avg,
+                output_flow=m.output_flow,
+                remove_flow=m.remove_flow,
+                flow_pad_factor=m.flow_pad_factor,
+                normalize_brightness=m.normalize_brightness)
     print(f"exported {onnx_path} "
           f"({os.path.getsize(onnx_path) / 1e6:.1f} MB)")
 
     runner = OnnxClipRunner(onnx_path, h, w,
-                            num_flow_frames=eng.model.num_flow_frames)
+                            num_flow_frames=m.num_flow_frames,
+                            stateless=m.remove_flow)
     worst = 0
     for i in range(t):
         ours = eng.process(frames[i])
