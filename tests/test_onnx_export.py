@@ -361,6 +361,33 @@ def test_autoencoder_pad_brightness_export_matches_engine(tmp_path):
             assert d <= 1, f"{name}: frame {t} max u8 diff {d}"
 
 
+def test_int8_ranges_cover_autoencoder_graph(tmp_path):
+    """calibrate()'s dotted conv paths must match the autoencoder
+    emitter's initializer names, or the int8 tier silently leaves the
+    ladder unquantized (the ranges dict lookup just misses)."""
+    from joshupscale_tpu.export.quantize import calibrate
+    from joshupscale_tpu.models import create_models
+
+    built = create_models(_variant_config(
+        _flow={"name": "flow-autoencoder", "num_inputs": 4,
+               "filters": [FILTERS, 2 * FILTERS, FILTERS]},
+    ), seed=13)["inference"]
+    rng = np.random.default_rng(41)
+    cal = jnp.asarray(rng.integers(0, 256, (3, 1, H, W, 3), np.uint8))
+    ranges = calibrate(built.obj, built.params, cal)
+    assert "flow.block_1.conv_1" in ranges  # the ladder is calibrated
+
+    p = str(tmp_path / "ae8.onnx")
+    export_onnx(p, built.params, H, W, int8_ranges=ranges)
+    m = om.decode_model(open(p, "rb").read())
+    ops = [n["op_type"] for n in m["nodes"]]
+    # One activation pair + one weight pair per calibrated conv: every
+    # range key found its conv (none silently missed).
+    assert ops.count("QuantizeLinear") == 2 * len(ranges)
+    assert m["initializers"]["flow.block_1.conv_1.w.zero_point"].dtype \
+        == np.int8
+
+
 def test_variant_export_rejects_contradictory_options(built_model,
                                                       tmp_path):
     with pytest.raises(ValueError):
