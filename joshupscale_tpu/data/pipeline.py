@@ -22,22 +22,46 @@ dataset YAMLs work unchanged.
 from __future__ import annotations
 
 import glob as globlib
+import itertools
 import os
 import queue
-import random
 import threading
-from typing import Any, Callable, Dict, Iterator, List, Optional
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
 Stream = Iterator[Any]
 
 
+# Construction-time randomness context: ``create_dataset`` pushes a
+# per-op (Generator, SeedSequence) pair before instantiating each op so
+# every random op draws from its own spawned stream (reference
+# ``train_local.py:78-79`` seeds keras/np/random globally; per-op
+# generators additionally make the stream independent of op order and
+# safe to run in parallel worker processes).  Unseeded pipelines get a
+# fresh OS-entropy generator per op (the old global-np.random behavior,
+# still nondeterministic run to run).
+_OP_RANDOMNESS: List[Tuple[np.random.Generator,
+                           Optional[np.random.SeedSequence]]] = []
+
+
+def _take_op_randomness():
+    if _OP_RANDOMNESS:
+        return _OP_RANDOMNESS[-1]
+    return np.random.default_rng(), None
+
+
 class DatasetOp:
-    """Base op: callable from upstream value/stream to downstream."""
+    """Base op: callable from upstream value/stream to downstream.
+
+    ``self.rng`` is the op's private random generator (seeded by
+    ``create_dataset(seed=...)``); ``self.seed_seq`` is its spawnable
+    seed sequence for ops that build sub-pipelines (SampleDatasetOp).
+    """
 
     def __init__(self, name: str, **_):
         self.name = name
+        self.rng, self.seed_seq = _take_op_randomness()
 
     def __call__(self, data: Any) -> Any:
         raise NotImplementedError
@@ -60,7 +84,7 @@ class GlobOp(DatasetOp):
 class ListShuffleOp(DatasetOp):
     def __call__(self, data):
         out = list(data)
-        random.shuffle(out)
+        self.rng.shuffle(out)
         return out
 
 
@@ -133,7 +157,7 @@ class LocalDatasetOp(DatasetOp):
         ))
         self.groups = [frames[i:i + 10] for i in range(0, len(frames), 10)]
         if shuffle:
-            random.shuffle(self.groups)
+            self.rng.shuffle(self.groups)
 
     def __call__(self, data):
         assert data is None
@@ -282,7 +306,7 @@ class RandomCondMapOp(MapOp):
         return data
 
     def map_fn(self, data):
-        if np.random.random() < self.threshold:
+        if self.rng.random() < self.threshold:
             return self.true_fn(data)
         return data
 
@@ -387,8 +411,8 @@ class RandomCropOp(FlatMapOp):
         cs = self.crop_size
         inputs, targets = [], []
         for _ in range(self.num_img):
-            x0 = np.random.randint(0, w - cs)
-            y0 = np.random.randint(0, h - cs)
+            x0 = int(self.rng.integers(0, w - cs))
+            y0 = int(self.rng.integers(0, h - cs))
             inputs.append(data["input"][:, y0:y0 + cs, x0:x0 + cs, :])
             targets.append(
                 data["target"][:, y0 * 4:(y0 + cs) * 4,
@@ -444,7 +468,7 @@ class RandomNoiseOp(MapOp):
         self.stddev = stddev
 
     def map_fn(self, data):
-        noise = np.random.normal(
+        noise = self.rng.normal(
             0.0, self.stddev, data["input"].shape
         ).astype(np.float32)
         return {"input": data["input"] + noise, "target": data["target"]}
@@ -459,7 +483,7 @@ class RandomContrastOp(MapOp):
         self.base = base
 
     def map_fn(self, data):
-        rate = float(self.base) ** np.random.normal(0.0, self.stddev)
+        rate = float(self.base) ** self.rng.normal(0.0, self.stddev)
         mean = np.mean(data["target"], axis=(0, 1, 2))
         return {
             "input": (data["input"] - mean) * rate + mean,
@@ -475,7 +499,7 @@ class RandomBrightnessOp(MapOp):
         self.stddev = stddev
 
     def map_fn(self, data):
-        delta = np.random.normal(0.0, self.stddev)
+        delta = self.rng.normal(0.0, self.stddev)
         return {
             "input": data["input"] + delta,
             "target": data["target"] + delta,
@@ -578,16 +602,26 @@ class SampleDatasetOp(DatasetOp):
         assert data is None
         configs = self.configs
         weights = self.weights
+        rng = self.rng
+        seed_seq = self.seed_seq
 
         def gen():
-            iters = [iter(create_dataset(c)) for c in configs]
+            # Sub-pipelines get spawned seeds (fresh per pass: spawn()
+            # advances the parent's spawn key, so repeated iteration is
+            # deterministic but not a verbatim replay).
+            children = (seed_seq.spawn(len(configs)) if seed_seq
+                        else [None] * len(configs))
+            iters = [
+                iter(create_dataset(c, seed=s))
+                for c, s in zip(configs, children)
+            ]
             w = np.asarray(
                 weights if weights else [1.0] * len(iters), np.float64
             )
             alive = list(range(len(iters)))
             while alive:
                 probs = w[alive] / w[alive].sum()
-                pick = int(np.random.choice(len(alive), p=probs))
+                pick = int(rng.choice(len(alive), p=probs))
                 try:
                     yield next(iters[alive[pick]])
                 except StopIteration:
@@ -643,16 +677,17 @@ class ShuffleOp(DatasetOp):
     def __call__(self, data):
         src = data
         window = self.window
+        rng = self.rng
 
         def gen():
             buf = []
             for item in src:
                 buf.append(item)
                 if len(buf) >= window:
-                    i = np.random.randint(len(buf))
+                    i = int(rng.integers(len(buf)))
                     buf[i], buf[-1] = buf[-1], buf[i]
                     yield buf.pop()
-            random.shuffle(buf)
+            rng.shuffle(buf)
             yield from buf
 
         return _Restartable(gen)
@@ -816,43 +851,111 @@ DATASET_OPS: Dict[str, type] = {
 }
 
 
-def create_dataset(config: List[Dict[str, Any]]):
-    """Build an iterable dataset from an op-chain config."""
+def _shard_stream(data, num_shards: int, index: int):
+    """Restrict a source's output to every ``num_shards``-th element.
+
+    Used by the multiprocess loader: worker ``index`` consumes elements
+    ``index, index+num_shards, ...`` of the first op's output (a file
+    list, record stream, or sequence stream), so the union over all
+    workers is exactly one pass over the source.
+    """
+    if isinstance(data, (list, tuple)):
+        return list(data)[index::num_shards]
+    src = data
+
+    def gen():
+        yield from itertools.islice(iter(src), index, None, num_shards)
+
+    return _Restartable(gen)
+
+
+def create_dataset(config: List[Dict[str, Any]],
+                   seed: Optional[Any] = None,
+                   shard: Optional[Tuple[int, int]] = None):
+    """Build an iterable dataset from an op-chain config.
+
+    ``seed`` (int or ``np.random.SeedSequence``) makes every random op
+    draw from its own deterministically spawned generator: the same
+    config + seed reproduces the exact element stream, shuffle order
+    and augmentation draws included (reference ``train_local.py:78-79``
+    seeds keras/np/random globally for the same guarantee).
+    ``shard=(n, i)`` keeps every n-th element of the FIRST op's output
+    (worker sharding; see :mod:`joshupscale_tpu.data.mploader`).
+    """
     data = None
-    for op_config in config:
+    seq = None
+    if seed is not None:
+        seq = (seed if isinstance(seed, np.random.SeedSequence)
+               else np.random.SeedSequence(seed))
+    children = (seq.spawn(len(config)) if seq is not None
+                else [None] * len(config))
+    for idx, op_config in enumerate(config):
         if "name" not in op_config:
             raise ValueError("Op name is not defined")
         name = op_config["name"]
         if name not in DATASET_OPS:
             raise ValueError(f"Unknown dataset op: {name}")
-        op = DATASET_OPS[name](**op_config)
+        child = children[idx]
+        _OP_RANDOMNESS.append(
+            (np.random.default_rng(child), child) if child is not None
+            else (np.random.default_rng(), None)
+        )
+        try:
+            op = DATASET_OPS[name](**op_config)
+        finally:
+            _OP_RANDOMNESS.pop()
         data = op(data)
+        if idx == 0 and shard is not None:
+            data = _shard_stream(data, *shard)
     if data is None:
         raise ValueError("Invalid dataset config")
     return data
 
 
-def create_train_dataset(config: List[Dict[str, Any]], batch_size: int):
-    """Training stream: config + batch + prefetch (reference :657-663)."""
+def create_train_dataset(config: List[Dict[str, Any]], batch_size: int,
+                         seed: Optional[int] = None,
+                         num_workers: int = 0, prefetch: int = 2):
+    """Training stream: config + batch + prefetch (reference :657-663).
+
+    ``num_workers >= 1`` runs the whole pipeline in that many worker
+    PROCESSES over disjoint source shards with shared-memory batch
+    transport (the tf.data-parallel-op-chain analog; see
+    :mod:`joshupscale_tpu.data.mploader`); 0 keeps the in-process
+    pipeline with a background prefetch thread.
+    """
+    if num_workers and num_workers >= 1:
+        from joshupscale_tpu.data.mploader import (
+            ConfigPipelineFactory,
+            MultiprocessLoader,
+        )
+
+        return MultiprocessLoader(
+            ConfigPipelineFactory(config, batch_size),
+            num_workers=num_workers, seed=seed, prefetch=prefetch,
+        )
     return create_dataset(config + [
         {"name": "BatchOp", "batch_size": batch_size},
         {"name": "PrefetchOp", "buffer_size": 4},
-    ])
+    ], seed=seed)
 
 
 def create_val_dataset(config: List[Dict[str, Any]], batch_size: int,
-                       play_size: int, val_size: int):
+                       play_size: int, val_size: int,
+                       seed: Optional[int] = None):
     """(val, play) streams, cached and pre-filled (reference :666-685)."""
+    seq = np.random.SeedSequence(seed) if seed is not None else None
+    val_seed, play_seed = (seq.spawn(2) if seq is not None
+                           else (None, None))
     val_ds = create_dataset(config + [
         {"name": "TakeOp", "size": val_size},
         {"name": "BatchOp", "batch_size": batch_size},
         {"name": "CacheOp"},
-    ])
+    ], seed=val_seed)
     play_ds = create_dataset(config + [
         {"name": "TakeOp", "size": play_size},
         {"name": "BatchOp", "batch_size": play_size},
         {"name": "CacheOp"},
-    ])
+    ], seed=play_seed)
     for _ in val_ds:
         pass
     for _ in play_ds:

@@ -88,22 +88,13 @@ def quantize_params_int8(
     return params
 
 
-def calibrate(model, params, frames, percentile: float = 100.0):
-    """Record per-conv-INPUT activation absmax over calibration frames.
-
-    The functional analog of the reference's calibration sweep
-    (generate_calibration.py:93-233): streams ``frames`` (T, N, H, W, 3)
-    through the recurrent model with correct state alignment, recording
-    each conv layer's input absmax.  Convs are identified by
-    intercepting ``nn.layers.conv2d`` and mapping the kernel array's
-    identity back to its dotted path in ``params``, so the returned keys
-    are exactly the paths ``quantize_params_int8(ranges=...)`` consults.
-
-    Returns {dotted_conv_path: absmax}.  Percentile < 100 clips outliers
-    (reference Percentile calibrator).
-    """
-    import jax.numpy as jnp_mod
-
+def _sweep(model, params, frames, record) -> None:
+    """Stream ``frames`` (T, N, H, W, 3) through the recurrent model
+    with correct state alignment, calling ``record(path, x)`` with each
+    conv layer's INPUT.  Convs are identified by intercepting
+    ``nn.layers.conv2d`` and mapping the kernel array's identity back
+    to its dotted path in ``params``, so recorded keys are exactly the
+    paths ``quantize_params_int8(ranges=...)`` consults."""
     from joshupscale_tpu.models import common as model_common
     from joshupscale_tpu.nn import layers as nn_layers
 
@@ -124,16 +115,12 @@ def calibrate(model, params, frames, percentile: float = 100.0):
 
     index(params)
 
-    stats: Dict[str, list] = {}
     original = nn_layers.conv2d
 
     def recording_conv2d(p, x, *args, **kwargs):
         path = id_to_path.get(id(p.get("kernel")))
         if path is not None:
-            stats.setdefault(path, []).append(
-                float(jnp_mod.max(jnp_mod.abs(
-                    x.astype(jnp_mod.float32))))
-            )
+            record(path, x)
         return original(p, x, *args, **kwargs)
 
     nn_layers.conv2d = recording_conv2d
@@ -160,7 +147,128 @@ def calibrate(model, params, frames, percentile: float = 100.0):
         nn_layers.conv2d = original
         for m, fn in zip(patched, saved):
             m.conv2d = fn
-    return {
-        path: float(np.percentile(np.asarray(vals), percentile))
-        for path, vals in stats.items()
-    }
+
+
+def kl_threshold(hist: np.ndarray, num_quantized_bins: int = 128) -> int:
+    """Optimal clip bin index by KL divergence (TensorRT Entropy rule).
+
+    ``hist`` is a histogram of |activation| over uniform bins spanning
+    [0, absmax].  For each candidate clip point ``i`` the reference
+    distribution P is ``hist[:i]`` with the outlier tail folded into
+    its last bin, and the candidate Q is P collapsed to
+    ``num_quantized_bins`` int8 levels and re-expanded over P's nonzero
+    support.  Returns the ``i`` minimizing KL(P||Q) — the standard
+    entropy-calibration search (the reference exposes onnxruntime's
+    Entropy calibrator, generate_calibration.py:22-26, which implements
+    the same TensorRT rule).
+    """
+    hist = np.asarray(hist, np.float64)
+    n = len(hist)
+    if n <= num_quantized_bins or hist.sum() == 0:
+        return n
+    eps = 1e-4
+    best_i, best_kl = n, np.inf
+    for i in range(num_quantized_bins, n + 1):
+        p = hist[:i].copy()
+        p[i - 1] += hist[i:].sum()
+        nonzero = hist[:i] > 0
+        # Collapse the first i bins onto the int8 levels, then expand
+        # each level's mass uniformly over its nonzero source bins.
+        idx = np.arange(i) * num_quantized_bins // i
+        level_mass = np.bincount(idx, weights=hist[:i],
+                                 minlength=num_quantized_bins)
+        level_nnz = np.bincount(idx, weights=nonzero.astype(np.float64),
+                                minlength=num_quantized_bins)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            per_bin = np.where(level_nnz > 0, level_mass / level_nnz, 0.0)
+        q = np.where(nonzero, per_bin[idx], 0.0)
+        # Smooth (the MXNet/TensorRT recipe): move eps mass onto empty
+        # bins so KL stays finite, normalize, accumulate divergence.
+        p_is_zero = p == 0
+        q_is_zero = q == 0
+        if (~q_is_zero).sum() == 0:
+            continue
+        p_s = p + eps * p_is_zero - (eps * p_is_zero.sum()
+                                     / max((~p_is_zero).sum(), 1)
+                                     ) * (~p_is_zero)
+        q_s = q + eps * q_is_zero - (eps * q_is_zero.sum()
+                                     / max((~q_is_zero).sum(), 1)
+                                     ) * (~q_is_zero)
+        p_s = np.clip(p_s, 1e-12, None)
+        q_s = np.clip(q_s, 1e-12, None)
+        p_s /= p_s.sum()
+        q_s /= q_s.sum()
+        kl = float(np.sum(p_s * np.log(p_s / q_s)))
+        if kl < best_kl:
+            best_kl, best_i = kl, i
+    return best_i
+
+
+def calibrate(model, params, frames, percentile: float = 100.0,
+              method: Optional[str] = None, bins: int = 2048):
+    """Calibrate per-conv-INPUT activation ranges over ``frames``.
+
+    The functional analog of the reference's calibration sweep
+    (generate_calibration.py:93-233) with all three of its calibrator
+    choices (:22-26):
+
+    - ``minmax`` (default): absmax over every conv call.
+    - ``percentile``: per-call absmax percentile (``percentile < 100``
+      implies this method for backward compatibility).
+    - ``entropy``: TensorRT-style KL-divergence clipping — a second
+      sweep accumulates an |x| histogram per layer (computed on device,
+      only the ``bins`` counts come to host) and ``kl_threshold`` picks
+      the clip minimizing KL(P||Q) against the 128-level int8 grid.
+
+    Returns {dotted_conv_path: range} for
+    ``quantize_params_int8(ranges=...)`` / ``export_onnx(int8_ranges=)``.
+    """
+    import jax.numpy as jnp_mod
+
+    if method is None:
+        method = "percentile" if percentile < 100.0 else "minmax"
+    if method not in ("minmax", "percentile", "entropy"):
+        raise ValueError(f"Unknown calibration method: {method}")
+
+    stats: Dict[str, list] = {}
+
+    def record_absmax(path, x):
+        stats.setdefault(path, []).append(
+            float(jnp_mod.max(jnp_mod.abs(x.astype(jnp_mod.float32))))
+        )
+
+    _sweep(model, params, frames, record_absmax)
+    absmax = {p: float(np.max(v)) for p, v in stats.items()}
+    if method == "minmax":
+        return absmax
+    if method == "percentile":
+        return {
+            path: float(np.percentile(np.asarray(vals), percentile))
+            for path, vals in stats.items()
+        }
+
+    # entropy: second sweep accumulating fixed-range histograms
+    hists: Dict[str, np.ndarray] = {}
+
+    def record_hist(path, x):
+        top = absmax[path]
+        if top <= 0:
+            return
+        h, _ = jnp_mod.histogram(
+            jnp_mod.abs(x.astype(jnp_mod.float32)).reshape(-1),
+            bins=bins, range=(0.0, top),
+        )
+        prev = hists.get(path)
+        hists[path] = (np.asarray(h, np.float64) if prev is None
+                       else prev + np.asarray(h, np.float64))
+
+    _sweep(model, params, frames, record_hist)
+    out = {}
+    for path, top in absmax.items():
+        hist = hists.get(path)
+        if hist is None:
+            out[path] = top
+            continue
+        i = kl_threshold(hist)
+        out[path] = (i + 0.5) * (top / bins)
+    return out

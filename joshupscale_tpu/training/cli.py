@@ -114,7 +114,13 @@ def train(config: Dict[str, Any], seed: int = 0,
     ckpt_dir = train_cfg.get("checkpoint_dir", "checkpoints")
     log_dir = train_cfg.get("log_dir", ckpt_dir)
 
-    train_ds = create_train_dataset(config["train_dataset"], batch_size)
+    # Seeded end to end (reference train_local.py:78-79 seeds keras/np/
+    # random globally): the data pipeline's shuffle order and
+    # augmentation draws reproduce from (config, seed, data_workers).
+    train_ds = create_train_dataset(
+        config["train_dataset"], batch_size, seed=seed,
+        num_workers=int(train_cfg.get("data_workers", 0)),
+    )
 
     tb_dir = (os.path.join(log_dir, "tb")
               if train_cfg.get("tensorboard", True) else None)
@@ -131,6 +137,7 @@ def train(config: Dict[str, Any], seed: int = 0,
             config["val_dataset"], batch_size,
             play_size=int(train_cfg.get("play_size", 4)),
             val_size=int(train_cfg.get("val_size", 16)),
+            seed=seed,
         )
         val_iterable = val_ds
         inference = built.config.get("inference")
@@ -223,9 +230,11 @@ def train(config: Dict[str, Any], seed: int = 0,
         profile_dir=(os.path.join(log_dir, "profile")
                      if tb_dir and train_cfg.get("profile", True)
                      else None),
-        # Deferred metric-fetch window: overlaps host batch prep with
-        # device compute (0 = fully synchronous loop).
-        metric_lag=train_cfg.get("metric_lag", 1),
+        # Deferred metric-fetch window: None (default) holds metric
+        # trees on device until epoch end and fetches them in one
+        # batched device_get; 0 = fully synchronous loop.
+        metric_lag=train_cfg.get("metric_lag"),
+        stage_inputs=bool(train_cfg.get("stage_inputs", True)),
     )
 
     export_cfg = config.get("export")

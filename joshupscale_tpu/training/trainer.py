@@ -25,8 +25,10 @@ import collections
 import dataclasses
 import json
 import os
+import queue as queue_mod
+import threading
 import time
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -243,6 +245,7 @@ def build_frvsr_step(
             return params, opt_state, step_no, metrics
 
     jit_kwargs: Dict[str, Any] = {"donate_argnums": (0, 1, 2)}
+    data = None
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(
@@ -261,6 +264,7 @@ def build_frvsr_step(
         return TrainState(params, opt_state, step_no), metrics
 
     run.steps_per_execution = k
+    run.input_sharding = data  # fit()'s stager pre-places batches
     return run
 
 
@@ -386,6 +390,7 @@ def build_gan_step(
             return carry + (metrics,)
 
     jit_kwargs: Dict[str, Any] = {"donate_argnums": (0, 1, 2, 3, 4, 5)}
+    data = None
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(
@@ -408,6 +413,7 @@ def build_gan_step(
         return GANTrainState(gp, dp, gopt, dopt, ema, step_no), metrics
 
     run.steps_per_execution = k
+    run.input_sharding = data  # fit()'s stager pre-places batches
     return run
 
 
@@ -544,6 +550,79 @@ def device_normalize(batch):
     return _normalize_u8_tree(batch)
 
 
+class _InputStager:
+    """Background thread staging host batches onto the device.
+
+    The round-5 fit-cost probe (tools/fit_cost_probe.py, real v5e via
+    the tunnel) measured the synchronous ``jnp.asarray(batch)`` H2D as
+    +230 ms/step at 8.4 MB/step (~46 MB/s tunnel bandwidth) — larger
+    than the 163 ms GAN step itself.  The transfer is network-bound,
+    not CPU-bound, so a single stager thread overlaps it with device
+    compute even on this 1-core host: it pulls the next host batch,
+    ``jax.device_put``s it (to the step's input sharding when the step
+    is mesh-partitioned), runs the u8→f32 normalize program, and parks
+    it in a 1-deep queue for the dispatch loop — the training-input
+    analog of the serving engine's double-buffered ``process_async``.
+    """
+
+    _STOP = object()
+
+    def __init__(self, batch_iter: Iterator, sharding=None,
+                 depth: int = 1):
+        self._q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(depth, 1))
+        self._cancel = threading.Event()
+
+        def _stage(batch):
+            if sharding is not None:
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sharding), batch)
+            else:
+                batch = jax.device_put(batch)
+            return device_normalize(batch)
+
+        def worker():
+            try:
+                for batch in batch_iter:
+                    staged = _stage(batch)
+                    while not self._cancel.is_set():
+                        try:
+                            self._q.put(staged, timeout=0.1)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    else:
+                        return
+                self._put_forever((self._STOP, None))
+            except BaseException as exc:  # forwarded to the consumer
+                self._put_forever((self._STOP, exc))
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def _put_forever(self, item):
+        while not self._cancel.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return
+            except queue_mod.Full:
+                continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, tuple) and item and item[0] is self._STOP:
+            self.close()
+            if item[1] is not None:
+                raise item[1]
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._cancel.set()
+
+
 def fit(
     step_fn: Callable,
     state,
@@ -561,7 +640,8 @@ def fit(
     tensorboard_dir: Optional[str] = None,
     profile_dir: Optional[str] = None,
     profile_batch: Tuple[int, int] = (5, 10),
-    metric_lag: int = 1,
+    metric_lag: Optional[int] = None,
+    stage_inputs: bool = True,
 ):
     """Generic epoch loop: train, validate, checkpoint best+latest.
 
@@ -571,13 +651,19 @@ def fit(
     reference profiles batches 5-10 via the TensorBoard callback unless
     --disable-profile, train_local.py:106-110); view with TensorBoard or
     ``tools/profile_step.py``'s trace parser.
-    ``metric_lag`` bounds how many executions' metrics stay un-fetched
-    on device so host input prep overlaps device compute (0 restores
-    the fully synchronous loop); epoch results are identical either
-    way.
+
+    ``metric_lag`` bounds how many executions' metric trees stay
+    un-fetched on device; ``None`` (default) holds every tree until
+    epoch end and fetches them all in ONE ``jax.device_get`` — the
+    fit-cost probe measured per-metric fetching at +220 ms/step and
+    even a per-step tree fetch at +75 ms/step through the tunnel.
+    ``0`` restores the fully synchronous loop.  Epoch results are
+    identical in every mode.
+
+    ``stage_inputs`` runs host→device batch staging on a background
+    thread (overlapped with device compute; see ``_InputStager``).
     Returns (state, history).
     """
-    data_iter = iter(train_data)
     history = []
     best = float("inf")
     stale = 0
@@ -593,18 +679,41 @@ def fit(
             f"steps_per_execution={spe}; running "
             f"{max(steps_per_epoch // spe, 1) * spe} steps per epoch"
         )
+
+    def _host_batches():
+        """Fully-formed host batches (incl. the K-step stacking)."""
+        it = iter(train_data)
+        while True:
+            if spe > 1:
+                group = [next(it) for _ in range(spe)]
+                yield jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *group
+                )
+            else:
+                yield next(it)
+
+    if stage_inputs:
+        batch_iter: Iterator = _InputStager(
+            _host_batches(),
+            sharding=getattr(step_fn, "input_sharding", None),
+        )
+    else:
+        batch_iter = map(device_normalize, _host_batches())
+
+    def _drain_pending():
+        """Fetch every held metric tree in one batched transfer."""
+        if not pending_metrics:
+            return
+        for tree in jax.device_get(list(pending_metrics)):
+            acc.update(tree)
+        pending_metrics.clear()
+
     for epoch in range(epochs):
         acc.reset()
         t0 = time.time()
         executions = max(steps_per_epoch // spe, 1)
         for _ in range(executions):
-            if spe > 1:
-                batches = [next(data_iter) for _ in range(spe)]
-                batch = jax.tree_util.tree_map(
-                    lambda *xs: np.stack(xs), *batches
-                )
-            else:
-                batch = next(data_iter)
+            batch = next(batch_iter)
             rng, step_rng = jax.random.split(rng)
             if profile_dir is not None:
                 if not profiling and global_step >= profile_batch[0]:
@@ -613,22 +722,19 @@ def fit(
                 elif profiling and global_step > profile_batch[1]:
                     jax.profiler.stop_trace()
                     profiling = False
-            state, metrics = step_fn(state, device_normalize(batch),
-                                     step_rng)
+            state, metrics = step_fn(state, batch, step_rng)
             global_step += spe
-            # Defer the metric fetch by metric_lag executions: jax
-            # dispatch is async, but float(np.asarray(metric)) blocks
-            # the host until the step finishes (a full round-trip per
-            # metric through a remote tunnel), serializing host batch
-            # prep against device compute.  Holding the device arrays
-            # for one window lets the host stage batch t+1 while step
-            # t runs (the training analog of the serving engine's
-            # max_inflight double buffering).
+            # Defer the metric fetch: jax dispatch is async, but
+            # fetching a metric blocks the host until the step
+            # finishes (a full round-trip per ARRAY through a remote
+            # tunnel), serializing host batch prep against device
+            # compute.  Holding the trees on device (scalars; bytes,
+            # not MBs) and fetching them in one batched device_get at
+            # epoch end costs ~one round-trip per EPOCH.
             pending_metrics.append(metrics)
-            if len(pending_metrics) > metric_lag:
-                acc.update(pending_metrics.popleft())
-        while pending_metrics:
-            acc.update(pending_metrics.popleft())
+            if metric_lag is not None and len(pending_metrics) > metric_lag:
+                acc.update(jax.device_get(pending_metrics.popleft()))
+        _drain_pending()
         train_metrics = acc.result()
         if any(not np.isfinite(v) for v in train_metrics.values()):
             log_fn(f"epoch {epoch}: non-finite metric, terminating: "
@@ -690,4 +796,6 @@ def fit(
             break
     if profiling:
         jax.profiler.stop_trace()
+    if isinstance(batch_iter, _InputStager):
+        batch_iter.close()
     return state, history

@@ -93,3 +93,54 @@ def test_calibration_records_ranges(rng):
     assert all(v >= 0 for v in ranges.values())
     assert any(k.startswith("flow.") for k in ranges)
     assert any(k.startswith("generator.") for k in ranges)
+
+
+def test_kl_threshold_gaussian_clips_outliers():
+    """Entropy calibration must clip a long-tailed distribution well
+    below its absmax (the point of the TensorRT Entropy rule) and keep
+    a uniform distribution at (near) full range."""
+    from joshupscale_tpu.export.quantize import kl_threshold
+
+    rng = np.random.default_rng(0)
+    # |N(0,1)| samples plus a tiny far-outlier tail at 20 sigma.
+    x = np.abs(rng.standard_normal(200_000))
+    x = np.concatenate([x, np.full(5, 20.0)])
+    hist, _ = np.histogram(x, bins=2048, range=(0.0, 20.0))
+    i = kl_threshold(hist)
+    clip = (i + 0.5) * 20.0 / 2048
+    assert clip < 8.0  # clipped far below the 20.0 absmax
+    assert clip > 2.0  # but keeps the distribution body
+
+    u = rng.uniform(0.0, 1.0, 100_000)
+    hist_u, _ = np.histogram(u, bins=2048, range=(0.0, 1.0))
+    i_u = kl_threshold(hist_u)
+    assert (i_u + 0.5) / 2048 > 0.9  # uniform: no clipping win
+
+
+def test_kl_threshold_degenerate():
+    from joshupscale_tpu.export.quantize import kl_threshold
+
+    assert kl_threshold(np.zeros(2048)) == 2048
+    assert kl_threshold(np.ones(64)) == 64  # fewer bins than levels
+
+
+def test_calibrate_entropy_method(rng):
+    """Entropy ranges exist for every minmax path and never exceed the
+    absmax range."""
+    built = _tiny_inference()
+    model = built.obj
+    frames = jnp.asarray(
+        rng.integers(0, 256, (3, 1, 8, 12, 3)).astype(np.uint8))
+    minmax = calibrate(model, built.params, frames)
+    entropy = calibrate(model, built.params, frames, method="entropy",
+                        bins=512)
+    assert set(entropy) == set(minmax)
+    for k in minmax:
+        assert 0.0 <= entropy[k] <= minmax[k] * 1.001 + 1e-6
+    # the quantizer consumes them unchanged
+    q = quantize_params_int8(built.params, min_elements=0,
+                             ranges=entropy)
+    out, _ = model.apply(q, jnp.asarray(
+        rng.integers(0, 256, (1, 8, 12, 3)).astype(np.uint8)),
+        model.init_state(1))
+    assert np.isfinite(np.asarray(out["output_raw"])).all()

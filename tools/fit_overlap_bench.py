@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--crop", type=int, default=32)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--dtype", type=str, default="float32")
+    ap.add_argument("--u8", action="store_true",
+                    help="ship u8 batches (the tfrecords TPU input "
+                         "layout): 4x smaller H2D, normalized on "
+                         "device by fit()'s stager")
     args = ap.parse_args()
 
     import jax
@@ -75,32 +79,43 @@ def main():
 
     def batches():
         # The soak workload's own generator -- the host cost being
-        # overlapped is this per-step work.  Fresh rng per run so the
-        # lag-0 and lag-1 timed runs consume IDENTICAL batches.
+        # overlapped is this per-step work.  Fresh rng per run so all
+        # timed runs consume IDENTICAL batches.
         rng = np.random.default_rng(0)
         while True:
-            yield synth_video_batch(rng, args.batch, crop)
+            b = synth_video_batch(rng, args.batch, crop)
+            if args.u8:
+                b = {k: ((v + 0.5) * 255.0).astype(np.uint8)
+                     for k, v in b.items()}
+            yield b
 
-    def run(metric_lag):
+    def run(metric_lag, stage_inputs, label):
         state = init_gan_state(
             built.obj, built.params["gen"], built.params["discr"],
             gopt, dopt)
         # Warm-up epoch compiles (persistent cache) + pages everything.
         state, _ = fit(step, state, batches(), epochs=1,
                        steps_per_epoch=2, rng=jax.random.PRNGKey(0),
-                       log_fn=lambda _m: None, metric_lag=metric_lag)
+                       log_fn=lambda _m: None, metric_lag=metric_lag,
+                       stage_inputs=stage_inputs)
         t0 = time.perf_counter()
         state, hist = fit(step, state, batches(), epochs=1,
                           steps_per_epoch=args.steps,
                           rng=jax.random.PRNGKey(1),
-                          log_fn=lambda _m: None, metric_lag=metric_lag)
+                          log_fn=lambda _m: None, metric_lag=metric_lag,
+                          stage_inputs=stage_inputs)
         dt = (time.perf_counter() - t0) / args.steps * 1e3
-        return dt, hist[0]["train_gen_loss"]
+        print(f"{label}: {dt:.1f} ms/step wall "
+              f"(loss {hist[0]['train_gen_loss']:.4f})", flush=True)
+        return dt
 
-    for lag in (0, 1):
-        ms, loss = run(lag)
-        print(f"metric_lag={lag}: {ms:.1f} ms/step wall "
-              f"(loss {loss:.4f})", flush=True)
+    # A/B ladder (identical batch streams; printed losses are the
+    # control).  Note the round-4 per-METRIC fetch path (775.8 ms/step)
+    # no longer exists: every mode now fetches whole trees via
+    # device_get, so even lag=0 is faster than the round-4 loop.
+    run(0, False, "sync        (lag=0, stage=False)")
+    run(1, False, "treefetch   (lag=1, stage=False)")
+    run(None, True, "round-5 dflt (lag=epoch, stage=True)")
     return 0
 
 

@@ -36,6 +36,11 @@ def main() -> int:
     ap.add_argument("--sequences", type=int, default=4,
                     help="number of val sequences to stream")
     ap.add_argument("--percentile", type=float, default=100.0)
+    ap.add_argument("--method", choices=("minmax", "percentile",
+                                         "entropy"), default=None,
+                    help="calibrator (reference generate_calibration"
+                         ".py:22-26 offers the same three); default: "
+                         "minmax, or percentile when --percentile<100")
     ap.add_argument("--gan", action="store_true")
     ap.add_argument("--package", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -96,12 +101,13 @@ def main() -> int:
 
     clip = jnp.asarray(np.transpose(lr, (1, 0, 2, 3, 4)))
     ranges = calibrate(model, params, clip,
-                       percentile=args.percentile)
+                       percentile=args.percentile, method=args.method)
     with open(args.out, "w") as f:
         json.dump({k: float(v) for k, v in ranges.items()}, f,
                   indent=1, sort_keys=True)
     print(f"wrote {len(ranges)} activation ranges to {args.out} "
           f"(streamed {n_seq}x{t} frames at {w}x{h}, "
+          f"method {args.method or 'auto'}, "
           f"percentile {args.percentile})")
     return 0
 
