@@ -33,6 +33,21 @@ int joshupscale_process(JoshUpscaleRuntime *runtime, const uint8_t *in,
                         ptrdiff_t in_stride, uint8_t *out,
                         ptrdiff_t out_stride);
 
+// Pipelined processing (1-deep in-flight queue; one frame of added
+// latency): submits `in` and fills `out` with the PREVIOUS submission's
+// result when ready.  Returns 1 when `out` was filled, 0 when the
+// pipeline is still filling, -1 on error.  Do not mix with
+// joshupscale_process on the same runtime; drain with
+// joshupscale_flush.
+int joshupscale_process_async(JoshUpscaleRuntime *runtime,
+                              const uint8_t *in, ptrdiff_t in_stride,
+                              uint8_t *out, ptrdiff_t out_stride);
+
+// Drain the pipeline: 1 when `out` was filled with the last in-flight
+// frame, 0 when nothing was pending, -1 on error.
+int joshupscale_flush(JoshUpscaleRuntime *runtime, uint8_t *out,
+                      ptrdiff_t out_stride);
+
 // Zero the recurrent state. Returns 0 on success.
 int joshupscale_reset(JoshUpscaleRuntime *runtime);
 

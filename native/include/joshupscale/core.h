@@ -58,6 +58,26 @@ class Runtime {
   // Throws std::runtime_error on dimension/location mismatch.
   virtual void processImage(const Image &in, const Image &out) = 0;
 
+  // Pipelined serving: submit `in` and, if a PREVIOUSLY submitted
+  // frame's output has been collected, fill `out` with it and return
+  // true (outputs arrive in submission order).  Backends with a
+  // 1-deep in-flight queue overlap the host<->device transfer of
+  // frame t+1 with the device compute of frame t, at the cost of one
+  // frame of latency; backends without one degenerate to the
+  // synchronous path (always true).  Do not interleave with
+  // processImage on the same runtime; call flushImage to drain.
+  virtual bool processImageAsync(const Image &in, const Image &out) {
+    processImage(in, out);
+    return true;
+  }
+
+  // Drain the pipeline: fill `out` with the last in-flight frame and
+  // return true, or return false when nothing is pending.
+  virtual bool flushImage(const Image &out) {
+    (void)out;
+    return false;
+  }
+
   // Zero the recurrent state (stream restart / seek).
   virtual void reset() = 0;
 

@@ -24,6 +24,22 @@ class Backend {
   // in: H*W*3 interleaved u8 bytes; out is resized to (scale*H)*(scale*W)*3.
   virtual void process(const std::uint8_t *in, std::size_t inSize,
                        std::vector<std::uint8_t> *out) = 0;
+
+  // Pipelined variant: submit `in`; fill `out` with the oldest
+  // completed frame when one is ready (true) -- outputs in submission
+  // order.  Default: synchronous passthrough (no queue).
+  virtual bool processAsync(const std::uint8_t *in, std::size_t inSize,
+                            std::vector<std::uint8_t> *out) {
+    process(in, inSize, out);
+    return true;
+  }
+
+  // Drain the pipeline (false when nothing is in flight).
+  virtual bool flush(std::vector<std::uint8_t> *out) {
+    (void)out;
+    return false;
+  }
+
   virtual void reset() = 0;
 
   virtual std::size_t inputWidth() const noexcept = 0;

@@ -87,6 +87,35 @@ int joshupscale_process(JoshUpscaleRuntime *runtime, const uint8_t *in,
   }
 }
 
+int joshupscale_process_async(JoshUpscaleRuntime *runtime,
+                              const uint8_t *in, ptrdiff_t in_stride,
+                              uint8_t *out, ptrdiff_t out_stride) {
+  try {
+    auto *rt = unwrap(runtime);
+    auto inImg = makeImage(in, in_stride, rt->getInputWidth(),
+                           rt->getInputHeight());
+    auto outImg = makeImage(out, out_stride, rt->getOutputWidth(),
+                            rt->getOutputHeight());
+    return rt->processImageAsync(inImg, outImg) ? 1 : 0;
+  } catch (...) {
+    g_lastError = JoshUpscale::core::getExceptionString();
+    return -1;
+  }
+}
+
+int joshupscale_flush(JoshUpscaleRuntime *runtime, uint8_t *out,
+                      ptrdiff_t out_stride) {
+  try {
+    auto *rt = unwrap(runtime);
+    auto outImg = makeImage(out, out_stride, rt->getOutputWidth(),
+                            rt->getOutputHeight());
+    return rt->flushImage(outImg) ? 1 : 0;
+  } catch (...) {
+    g_lastError = JoshUpscale::core::getExceptionString();
+    return -1;
+  }
+}
+
 int joshupscale_reset(JoshUpscaleRuntime *runtime) {
   try {
     unwrap(runtime)->reset();

@@ -315,6 +315,7 @@ PjrtEngine::~PjrtEngine() { cleanup(); }
 // null until the corresponding acquisition succeeds, so it is safe at
 // any point of construction.
 void PjrtEngine::cleanup() noexcept {
+  dropPending();
   destroyState();
   if (m_exe != nullptr) {
     PJRT_LoadedExecutable_Destroy_Args args;
@@ -422,12 +423,18 @@ void PjrtEngine::destroyState() noexcept {
 }
 
 void PjrtEngine::reset() {
+  dropPending();
   destroyState();
   initState();
 }
 
-void PjrtEngine::process(const std::uint8_t *in, std::size_t inSize,
-                         std::vector<std::uint8_t> *out) {
+// Upload one frame, enqueue the execute (PJRT execution is
+// asynchronous: the call returns once the work is queued), rotate the
+// donated state buffers, and START the display output's D2H copy
+// without blocking on it -- the copy completes behind the returned
+// event while the NEXT frame's execute runs.
+void PjrtEngine::submit(const std::uint8_t *in, std::size_t inSize,
+                        Pending *pending) {
   if (inSize != m_spec.inputs[0].byteSize()) {
     throw std::runtime_error(
         "Expected " + std::to_string(m_spec.inputs[0].byteSize()) +
@@ -471,7 +478,7 @@ void PjrtEngine::process(const std::uint8_t *in, std::size_t inSize,
   for (std::size_t i = 1; i < outputs.size(); ++i) {
     m_state.push_back(outputs[i]);
   }
-  out->resize(m_spec.outputs[0].byteSize());
+  pending->host.resize(m_spec.outputs[0].byteSize());
   {
     // Request a dense row-major host copy EXPLICITLY.  With
     // host_layout null the plugin copies in the device buffer's own
@@ -503,24 +510,91 @@ void PjrtEngine::process(const std::uint8_t *in, std::size_t inSize,
     toHost.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     toHost.src = outputs[0];
     toHost.host_layout = &hostLayout;
-    toHost.dst = out->data();
-    toHost.dst_size = out->size();
+    toHost.dst = pending->host.data();
+    toHost.dst_size = pending->host.size();
     PJRT_Error *err = m_api->PJRT_Buffer_ToHostBuffer(&toHost);
-    if (err == nullptr && toHost.event != nullptr) {
-      PJRT_Event_Await_Args await;
-      std::memset(&await, 0, sizeof(await));
-      await.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
-      await.event = toHost.event;
-      err = m_api->PJRT_Event_Await(&await);
-      PJRT_Event_Destroy_Args d;
-      std::memset(&d, 0, sizeof(d));
-      d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
-      d.event = toHost.event;
-      m_api->PJRT_Event_Destroy(&d);
+    if (err != nullptr) {
+      destroyBuffer(outputs[0]);
+      check(err, "device-to-host transfer");
     }
-    destroyBuffer(outputs[0]);
-    check(err, "device-to-host transfer");
+    pending->buffer = outputs[0];
+    pending->event = toHost.event;
+    pending->active = true;
   }
+}
+
+bool PjrtEngine::awaitPending(Pending *pending,
+                              std::vector<std::uint8_t> *out) {
+  if (!pending->active) {
+    return false;
+  }
+  PJRT_Error *err = nullptr;
+  if (pending->event != nullptr) {
+    auto *event = static_cast<PJRT_Event *>(pending->event);
+    PJRT_Event_Await_Args await;
+    std::memset(&await, 0, sizeof(await));
+    await.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+    await.event = event;
+    err = m_api->PJRT_Event_Await(&await);
+    PJRT_Event_Destroy_Args d;
+    std::memset(&d, 0, sizeof(d));
+    d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+    d.event = event;
+    m_api->PJRT_Event_Destroy(&d);
+    pending->event = nullptr;
+  }
+  destroyBuffer(pending->buffer);
+  pending->buffer = nullptr;
+  pending->active = false;
+  check(err, "device-to-host transfer");
+  out->swap(pending->host);
+  return true;
+}
+
+void PjrtEngine::dropPending() noexcept {
+  if (!m_pending.active) {
+    return;
+  }
+  // Await (ignoring errors) so the D2H is not writing into freed host
+  // memory, then discard the frame.
+  std::vector<std::uint8_t> discard;
+  try {
+    awaitPending(&m_pending, &discard);
+  } catch (...) {
+  }
+}
+
+void PjrtEngine::process(const std::uint8_t *in, std::size_t inSize,
+                         std::vector<std::uint8_t> *out) {
+  if (m_pending.active) {
+    throw std::runtime_error(
+        "process() called with an async frame in flight; flush first");
+  }
+  Pending pending;
+  submit(in, inSize, &pending);
+  awaitPending(&pending, out);
+}
+
+bool PjrtEngine::processAsync(const std::uint8_t *in, std::size_t inSize,
+                              std::vector<std::uint8_t> *out) {
+  // Submit frame t BEFORE blocking on frame t-1's D2H: the enqueue
+  // order (execute t, then await d2h of t-1) is what lets the copy
+  // ride out frame t's device compute.
+  Pending previous = m_pending;
+  m_pending = Pending{};
+  try {
+    submit(in, inSize, &m_pending);
+  } catch (...) {
+    // Restore the old frame so flush() still drains it.
+    dropPending();
+    m_pending = previous;
+    throw;
+  }
+  return awaitPending(&previous, out);
+}
+
+bool PjrtEngine::flush(std::vector<std::uint8_t> *out) {
+  return awaitPending(&m_pending, out);
 }
 
 }  // namespace core

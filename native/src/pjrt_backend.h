@@ -48,6 +48,19 @@ class PjrtEngine final : public Backend {
 
   void process(const std::uint8_t *in, std::size_t inSize,
                std::vector<std::uint8_t> *out) override;
+
+  // 1-deep in-flight pipeline: submit frame t+1 (host->HBM upload +
+  // execute enqueue + non-blocking D2H start) BEFORE blocking on frame
+  // t's D2H completion, so the transfer of one frame overlaps the
+  // device compute of the next -- the native analog of the Python
+  // engine's process_async double buffering (SURVEY §7's "async
+  // dispatch + double-buffered transfers" hard-part; the reference's
+  // TensorRT backend syncs per frame, core/src/tensorrt_backend.cc:
+  // 270-278).  One frame of added latency; outputs in order.
+  bool processAsync(const std::uint8_t *in, std::size_t inSize,
+                    std::vector<std::uint8_t> *out) override;
+  bool flush(std::vector<std::uint8_t> *out) override;
+
   void reset() override;
 
   std::size_t inputWidth() const noexcept override {
@@ -64,6 +77,16 @@ class PjrtEngine final : public Backend {
   }
 
  private:
+  // One in-flight display frame: its device buffer, the (possibly
+  // still running) D2H copy's completion event, and the host bytes
+  // the copy lands in.
+  struct Pending {
+    bool active = false;
+    PJRT_Buffer *buffer = nullptr;
+    void *event = nullptr;  // PJRT_Event*
+    std::vector<std::uint8_t> host;
+  };
+
   void construct(const std::string &pluginPath,
                  const std::string &modelPath, int deviceId,
                  const std::string &optionsPath);
@@ -73,6 +96,13 @@ class PjrtEngine final : public Backend {
   void destroyState() noexcept;
   void cleanup() noexcept;
   void destroyBuffer(PJRT_Buffer *buffer) const noexcept;
+  // Upload `in`, enqueue the execute, rotate the state buffers, and
+  // start the non-blocking D2H of the display output into `pending`.
+  void submit(const std::uint8_t *in, std::size_t inSize,
+              Pending *pending);
+  // Block until `pending`'s D2H completes and hand its bytes to `out`.
+  bool awaitPending(Pending *pending, std::vector<std::uint8_t> *out);
+  void dropPending() noexcept;
 
   void *m_dl = nullptr;
   const PJRT_Api *m_api = nullptr;
@@ -82,6 +112,7 @@ class PjrtEngine final : public Backend {
   StepSpec m_spec;
   std::vector<std::uint8_t> m_stateInit;      // state_init.bin contents
   std::vector<PJRT_Buffer *> m_state;         // live buffers for inputs[1:]
+  Pending m_pending;                          // processAsync in-flight slot
 };
 
 }  // namespace core

@@ -97,6 +97,29 @@ class TpuRuntime final : public Runtime {
     copyFromContiguous(m_outBuffer, out);
   }
 
+  bool processImageAsync(const Image &in, const Image &out) override {
+    validate(in, m_engine->inputWidth(), m_engine->inputHeight(), "input");
+    validate(out, m_engine->outputWidth(), m_engine->outputHeight(),
+             "output");
+    copyToContiguous(in, &m_inBuffer);
+    if (!m_engine->processAsync(m_inBuffer.data(), m_inBuffer.size(),
+                                &m_outBuffer)) {
+      return false;
+    }
+    copyFromContiguous(m_outBuffer, out);
+    return true;
+  }
+
+  bool flushImage(const Image &out) override {
+    validate(out, m_engine->outputWidth(), m_engine->outputHeight(),
+             "output");
+    if (!m_engine->flush(&m_outBuffer)) {
+      return false;
+    }
+    copyFromContiguous(m_outBuffer, out);
+    return true;
+  }
+
   void reset() override { m_engine->reset(); }
 
   std::size_t getInputWidth() const noexcept override {

@@ -24,6 +24,8 @@
 // knowledge of the compiled program signature.
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <memory>
 #include <string>
@@ -45,10 +47,33 @@ struct Error {
 
 Error *makeError(const std::string &message) { return new Error{message}; }
 
+// Optional call trace (env MOCK_PJRT_TRACE=path): one line per
+// execute / D2H start / D2H-event await, tagged with the execute
+// sequence number the display buffer came from.  Tests use it to prove
+// CALL ORDERING -- e.g. that the pipelined backend enqueues execute
+// t+1 before awaiting frame t's D2H event.
+std::FILE *traceFile() {
+  static std::FILE *f = [] {
+    const char *path = std::getenv("MOCK_PJRT_TRACE");
+    return path != nullptr ? std::fopen(path, "a") : nullptr;
+  }();
+  return f;
+}
+
+void trace(const char *what, int seq) {
+  if (std::FILE *f = traceFile()) {
+    std::fprintf(f, "%s %d\n", what, seq);
+    std::fflush(f);
+  }
+}
+
+int g_execCount = 0;
+
 struct Buffer {
   TensorSpec spec;
   std::vector<std::uint8_t> bytes;
   bool consumed = false;  // donated to an execute
+  int execSeq = -1;       // which execute produced it (display outputs)
   // Device layout of `bytes`: row-major (host order), or fully
   // reversed minor-to-major (first logical axis fastest-varying).
   // Real TPU plugins pick the reversed layout for the u8 display
@@ -139,6 +164,7 @@ struct Executable {
 
 struct Event {
   Error *error = nullptr;  // owned until Await hands it over
+  int traceSeq = -1;       // execute seq for D2H events (-1 = untraced)
 };
 
 }  // namespace
@@ -301,6 +327,8 @@ PJRT_Error *loadedExecutableExecute(
                             " size mismatch"));
     }
   }
+  const int execSeq = g_execCount++;
+  trace("exec", execSeq);
   const std::vector<std::uint8_t> &in0 = argList[0]->impl.bytes;
   for (std::size_t j = 0; j < spec.outputs.size(); ++j) {
     int aliasArg = -1;
@@ -335,6 +363,7 @@ PJRT_Error *loadedExecutableExecute(
       // (see Buffer::reversedLayout) so ToHostBuffer must convert.
       out = convertReversed(out, spec.outputs[j], /*toReversed=*/true);
       buffer->impl.reversedLayout = true;
+      buffer->impl.execSeq = execSeq;
     }
     args->output_lists[0][j] = buffer;
   }
@@ -376,6 +405,10 @@ PJRT_Error *bufferToHostBuffer(PJRT_Buffer_ToHostBuffer_Args *args) {
         "mock plugin only supports dense row-major host_layout"));
   }
   args->event = new PJRT_Event;
+  if (src.execSeq >= 0) {
+    trace("tohost", src.execSeq);
+    args->event->impl.traceSeq = src.execSeq;
+  }
   return nullptr;
 }
 
@@ -385,6 +418,9 @@ PJRT_Error *eventDestroy(PJRT_Event_Destroy_Args *args) {
 }
 
 PJRT_Error *eventAwait(PJRT_Event_Await_Args *args) {
+  if (args->event->impl.traceSeq >= 0) {
+    trace("await_tohost", args->event->impl.traceSeq);
+  }
   Error *e = args->event->impl.error;
   args->event->impl.error = nullptr;
   return wrap(e);

@@ -6,8 +6,13 @@
 // the Python TRT runner (scripts/inference/tensorrt/inference.py):
 // sequential recurrence with on-device state, per-frame latency report.
 //
-// Usage: upscale_cli <model_package> <in.raw> <out.raw> [num_frames]
+// Usage: upscale_cli [--pipeline] <model_package> <in.raw> <out.raw>
+//                    [num_frames]
 //        (frame size is taken from the model; device 0)
+// --pipeline serves through the 1-deep in-flight queue
+// (processImageAsync): frame t+1's upload/execute overlaps frame t's
+// output transfer -- same outputs, one frame of latency inside the
+// loop, drained at EOF.
 
 #include <chrono>
 #include <cstdio>
@@ -18,10 +23,17 @@
 #include "joshupscale/core.h"
 
 int main(int argc, char **argv) {
+  bool pipeline = false;
+  if (argc > 1 && std::strcmp(argv[1], "--pipeline") == 0) {
+    pipeline = true;
+    --argc;
+    ++argv;
+  }
   if (argc < 4) {
     std::fprintf(
         stderr,
-        "usage: %s <model_package> <in.raw> <out.raw> [num_frames]\n",
+        "usage: %s [--pipeline] <model_package> <in.raw> <out.raw> "
+        "[num_frames]\n",
         argv[0]);
     return 2;
   }
@@ -58,23 +70,40 @@ int main(int argc, char **argv) {
         static_cast<std::ptrdiff_t>(outW * 3), outW, outH};
 
     long frames = 0;
+    long submitted = 0;
     double totalSeconds = 0.0;
-    while (maxFrames < 0 || frames < maxFrames) {
+    while (maxFrames < 0 || submitted < maxFrames) {
       if (std::fread(inBuf.data(), 1, inSize, fin) != inSize) {
         break;
       }
       auto start = std::chrono::steady_clock::now();
-      runtime->processImage(inImg, outImg);
+      bool ready = pipeline ? runtime->processImageAsync(inImg, outImg)
+                            : (runtime->processImage(inImg, outImg), true);
       totalSeconds += std::chrono::duration<double>(
                           std::chrono::steady_clock::now() - start)
                           .count();
-      std::fwrite(outBuf.data(), 1, outSize, fout);
-      ++frames;
+      ++submitted;
+      if (ready) {
+        std::fwrite(outBuf.data(), 1, outSize, fout);
+        ++frames;
+      }
+    }
+    if (pipeline) {
+      auto start = std::chrono::steady_clock::now();
+      while (runtime->flushImage(outImg)) {
+        totalSeconds += std::chrono::duration<double>(
+                            std::chrono::steady_clock::now() - start)
+                            .count();
+        std::fwrite(outBuf.data(), 1, outSize, fout);
+        ++frames;
+        start = std::chrono::steady_clock::now();
+      }
     }
     std::fclose(fin);
     std::fclose(fout);
-    std::fprintf(stderr, "processed %ld frames, avg %.3f ms/frame\n",
-                 frames, frames > 0 ? totalSeconds / frames * 1e3 : 0.0);
+    std::fprintf(stderr, "processed %ld frames, avg %.3f ms/frame%s\n",
+                 frames, frames > 0 ? totalSeconds / frames * 1e3 : 0.0,
+                 pipeline ? " (pipelined)" : "");
     return 0;
   } catch (...) {
     std::fprintf(stderr, "error: %s\n",

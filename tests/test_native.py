@@ -210,31 +210,58 @@ def test_mask_asset_loads_and_composes(tmp_path):
     assert set(np.unique(ref)) == {0, 255}
 
 
-@pytest.fixture(scope="module")
-def pjrt_package(tmp_path_factory):
-    """A package WITH the Python-free PJRT serving artifacts."""
+@pytest.fixture(scope="module", params=["resnet", "ps2_autoencoder"])
+def pjrt_package(request, tmp_path_factory):
+    """A package WITH the Python-free PJRT serving artifacts, for BOTH
+    shipped model families (reference obs_plugin/src/filter.cc:138-143
+    treats PSP/resnet and PS2 as co-equal): the resnet quality graph
+    and the PS2-style tier (autoencoder-ladder flow + in-graph frame
+    padding + brightness normalization, configs/inference_ps2_style
+    .yaml shrunk to test size)."""
     from joshupscale_tpu.export.package import save_package
     from joshupscale_tpu.models import create_models
 
-    config = {
-        "flow": {"name": "flow-resnet", "num_inputs": 4,
-                 "num_filters": 8, "num_res_blocks": 1},
-        "generator": {"name": "generator-resnet", "num_filters": 8,
-                      "num_res_blocks": 1},
-        "inference": {
-            "name": "inference",
-            "generator": {"model": "generator"},
-            "flow": {"model": "flow"},
-            "skip_processing": False,
-            "frame_height": 16,
-            "frame_width": 24,
-        },
-    }
+    if request.param == "resnet":
+        config = {
+            "flow": {"name": "flow-resnet", "num_inputs": 4,
+                     "num_filters": 8, "num_res_blocks": 1},
+            "generator": {"name": "generator-resnet", "num_filters": 8,
+                          "num_res_blocks": 1},
+            "inference": {
+                "name": "inference",
+                "generator": {"model": "generator"},
+                "flow": {"model": "flow"},
+                "skip_processing": False,
+                "frame_height": 16,
+                "frame_width": 24,
+            },
+        }
+    else:
+        config = {
+            "flow": {"name": "flow-autoencoder", "num_inputs": 4,
+                     "filters": [8, 16, 8]},
+            "generator": {"name": "generator-resnet", "num_filters": 8,
+                          "num_res_blocks": 1},
+            "inference": {
+                "name": "inference",
+                "generator": {"model": "generator"},
+                "flow": {"model": "flow"},
+                "skip_processing": False,
+                # 15 is NOT a multiple of the ladder's pad factor, so
+                # the in-graph pad + flow-slice path is exercised.
+                "frame_height": 15,
+                "frame_width": 24,
+                "flow_pad_factor": 2,
+                "normalize_brightness": True,
+            },
+        }
     models = create_models(config, seed=7)
     path = tmp_path_factory.mktemp("pjrt_pkg") / "model"
     save_package(str(path), config, models["inference"],
                  export_stablehlo=True)
-    return str(path), models["inference"]
+    m = models["inference"].obj
+    return str(path), models["inference"], (m.frame_height,
+                                            m.frame_width)
 
 
 def _mock_pjrt_available():
@@ -259,9 +286,8 @@ def test_pjrt_backend_mock_plugin_end_to_end(pjrt_package, tmp_path):
     _build()
     if not _mock_pjrt_available():
         pytest.skip("PJRT C API header absent; backend not built")
-    pkg_path, _ = pjrt_package
+    pkg_path, _, (H, W) = pjrt_package
 
-    H, W = 16, 24
     rng = np.random.default_rng(3)
     frames = rng.integers(0, 256, (3, H, W, 3), np.uint8)
     in_raw = tmp_path / "in.raw"
@@ -280,15 +306,71 @@ def test_pjrt_backend_mock_plugin_end_to_end(pjrt_package, tmp_path):
     assert "PJRT engine loaded" in result.stderr
 
     out = np.fromfile(out_raw, np.uint8).reshape(3, 4 * H, 4 * W, 3)
+    for t in range(3):
+        np.testing.assert_array_equal(
+            out[t].reshape(-1), _mock_expected(frames[t], t, H, W))
+
+
+def _mock_expected(frame, t, H, W):
+    """The mock plugin's display-output byte rule for frame t:
+    display = (in0 cycled ^ 0x5A) + in1, where the state bytes all
+    equal t after t donation rotations of zero-initialized state."""
     n0 = H * W * 3
     k = np.arange(4 * H * 4 * W * 3)
-    for t in range(3):
-        base = frames[t].reshape(-1)
-        # Mock rule: display = (in0 cycled ^ 0x5A) + in1; the state
-        # bytes all equal t after t donation rotations of zero state.
-        expect = ((base[k % n0] ^ 0x5A).astype(np.uint16) + t) % 256
-        got = out[t].reshape(-1)
-        np.testing.assert_array_equal(got, expect.astype(np.uint8))
+    base = frame.reshape(-1)
+    return (((base[k % n0] ^ 0x5A).astype(np.uint16) + t) % 256).astype(
+        np.uint8)
+
+
+@needs_toolchain
+def test_pjrt_backend_pipelined_overlap(pjrt_package, tmp_path):
+    """--pipeline (the 1-deep in-flight queue, processImageAsync):
+    outputs must be byte-identical to the synchronous run, and the
+    mock's call trace must prove the OVERLAP ordering -- frame t's D2H
+    event is awaited only AFTER frame t+1's execute was enqueued
+    (SURVEY §7 async-dispatch requirement; the reference's TensorRT
+    backend syncs per frame, core/src/tensorrt_backend.cc:270-278)."""
+    _build()
+    if not _mock_pjrt_available():
+        pytest.skip("PJRT C API header absent; backend not built")
+    pkg_path, _, (H, W) = pjrt_package
+
+    N = 5
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (N, H, W, 3), np.uint8)
+    in_raw = tmp_path / "in.raw"
+    out_raw = tmp_path / "out.raw"
+    trace_path = tmp_path / "trace.txt"
+    frames.tofile(in_raw)
+
+    env = _subprocess_env()
+    env["JOSHUPSCALE_PJRT_PLUGIN"] = os.path.join(
+        BUILD, "libmock_pjrt.so")
+    env["MOCK_PJRT_SPEC"] = os.path.join(pkg_path, "step_spec.txt")
+    env["MOCK_PJRT_TRACE"] = str(trace_path)
+    result = subprocess.run(
+        [CLI, "--pipeline", pkg_path, str(in_raw), str(out_raw)],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert result.returncode == 0, result.stderr
+    assert "(pipelined)" in result.stderr
+
+    # Byte-exact vs the mock rule (same values as the sync run).
+    out = np.fromfile(out_raw, np.uint8).reshape(N, 4 * H, 4 * W, 3)
+    for t in range(N):
+        np.testing.assert_array_equal(
+            out[t].reshape(-1), _mock_expected(frames[t], t, H, W))
+
+    # Overlap ordering: for every non-final frame t, "await_tohost t"
+    # appears AFTER "exec t+1" in the trace.
+    lines = trace_path.read_text().splitlines()
+    pos = {ln: i for i, ln in enumerate(lines)}
+    execs = [ln for ln in lines if ln.startswith("exec ")]
+    assert len(execs) == N
+    for t in range(N - 1):
+        assert pos[f"await_tohost {t}"] > pos[f"exec {t + 1}"], lines
+    # The final frame drains via flushImage after EOF.
+    assert f"await_tohost {N - 1}" in pos
 
 
 @needs_toolchain
@@ -302,7 +384,7 @@ def test_pjrt_backend_retry_and_multi_client(pjrt_package):
     _build()
     if not _mock_pjrt_available():
         pytest.skip("PJRT C API header absent; backend not built")
-    pkg_path, _ = pjrt_package
+    pkg_path, _, _ = pjrt_package
 
     env = _subprocess_env()
     env["JOSHUPSCALE_PJRT_PLUGIN"] = os.path.join(
@@ -404,7 +486,7 @@ def test_pjrt_backend_real_tpu(pjrt_package, tmp_path):
     PJRT_Client_Create with no recourse; tools/run_native_tpu.py runs
     the same path at full resolution for BASELINE.md."""
     _build()
-    pkg_path, built = pjrt_package
+    pkg_path, built, (H, W) = pjrt_package
 
     from tools.make_axon_pjrt_options import write_options
 
@@ -415,7 +497,6 @@ def test_pjrt_backend_real_tpu(pjrt_package, tmp_path):
     env["JOSHUPSCALE_PJRT_OPTIONS"] = opts
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
-    H, W = 16, 24
     rng = np.random.default_rng(31)
     frames = rng.integers(0, 256, (3, H, W, 3), np.uint8)
     in_raw = tmp_path / "in.raw"
