@@ -1,0 +1,241 @@
+// Executable fake AviSynth+ host: implements IScriptEnvironment and a
+// synthetic source clip over the clean-room stub header
+// (third_party/stubs/avisynth/avisynth.h, now inline-implemented) and
+// drives the actual plugin shim (plugins/avisynth/main.cc) end to end:
+// AvisynthPluginInit3 -> AddFunction -> filter construction ->
+// GetFrame under the seek patterns a real AviSynth script produces
+// (sequential, cached back-seek, forward replay, reset + warm-up past
+// the backtrack window) -- the callback paths the reference plugin
+// exercises inside AviSynth (/root/reference/avisynth_plugin/src/
+// main.cc:83-157).  With JOSHUPSCALE_PJRT_PLUGIN pointing at the mock
+// PJRT plugin the display bytes follow its deterministic rule;
+// tests/test_native.py replicates rule + VideoStream state accounting
+// and compares every dumped frame byte for byte.
+//
+// Usage: fake_avisynth_host <model_package> <out_dir>
+
+#include <avisynth.h>
+
+#include <cstdarg>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fstream>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+namespace {
+
+int g_failures = 0;
+
+#define HOST_CHECK(cond)                                              \
+  do {                                                                \
+    if (!(cond)) {                                                    \
+      std::fprintf(stderr, "HOST_CHECK failed at %s:%d: %s\n",        \
+                   __FILE__, __LINE__, #cond);                        \
+      ++g_failures;                                                   \
+    }                                                                 \
+  } while (0)
+
+// ---------------------------------------------------------------------
+// Fake environment
+
+struct Registered {
+  std::string name;
+  std::string params;
+  IScriptEnvironment::ApplyFunc apply = nullptr;
+  void *userData = nullptr;
+};
+
+class FakeEnv final : public IScriptEnvironment {
+ public:
+  Registered registered;
+
+  void AVS_CALL CheckVersion(int version) override {
+    HOST_CHECK(version <= 8);
+  }
+
+  void AVS_CALL AddFunction(const char *name, const char *params,
+                            ApplyFunc apply, void *userData) override {
+    registered = Registered{name, params, apply, userData};
+  }
+
+  PVideoFrame AVS_CALL NewVideoFrame(const VideoInfo &vi,
+                                     int) override {
+    return PVideoFrame(new VideoFrame(vi.width, vi.height));
+  }
+
+  void AVS_CALL ThrowError(const char *fmt, ...) override {
+    char buf[1024];
+    std::va_list ap;
+    va_start(ap, fmt);
+    std::vsnprintf(buf, sizeof(buf), fmt, ap);
+    va_end(ap);
+    throw std::runtime_error(buf);  // the host's longjmp analog
+  }
+};
+
+// Synthetic RGB32 source: pixel (y, x, c) of frame n is
+// (y*31 + x*7 + c*3 + n*5) % 256 in MODEL row order (top-down); rows
+// are stored bottom-up like real AviSynth RGB32 frames.
+class SourceClip final : public IClip {
+ public:
+  SourceClip(int width, int height, int numFrames) {
+    vi_.width = width;
+    vi_.height = height;
+    vi_.num_frames = numFrames;
+  }
+
+  PVideoFrame AVS_CALL GetFrame(int n, IScriptEnvironment *) override {
+    auto *frame = new VideoFrame(vi_.width, vi_.height);
+    unsigned char *ptr = frame->GetWritePtr();
+    const int pitch = frame->GetPitch();
+    for (int y = 0; y < vi_.height; ++y) {
+      unsigned char *row = ptr + (vi_.height - 1 - y) * pitch;
+      for (int x = 0; x < vi_.width; ++x) {
+        for (int c = 0; c < 3; ++c) {
+          row[x * 4 + c] = static_cast<unsigned char>(
+              (y * 31 + x * 7 + c * 3 + n * 5) % 256);
+        }
+        row[x * 4 + 3] = 0xFF;
+      }
+    }
+    return PVideoFrame(frame);
+  }
+
+  int AVS_CALL SetCacheHints(int, int) override { return 0; }
+  const VideoInfo &AVS_CALL GetVideoInfo() override { return vi_; }
+
+ private:
+  VideoInfo vi_;
+};
+
+// Un-flip an RGB32 output frame to top-down BGR24 and dump it.
+bool dumpFrame(const PVideoFrame &frame, const VideoInfo &vi,
+               const std::string &path) {
+  std::vector<unsigned char> bgr(
+      static_cast<std::size_t>(vi.width) * vi.height * 3);
+  const unsigned char *ptr = frame->GetReadPtr();
+  const int pitch = frame->GetPitch();
+  for (int y = 0; y < vi.height; ++y) {
+    const unsigned char *row = ptr + (vi.height - 1 - y) * pitch;
+    for (int x = 0; x < vi.width; ++x) {
+      for (int c = 0; c < 3; ++c) {
+        bgr[(static_cast<std::size_t>(y) * vi.width + x) * 3 + c] =
+            row[x * 4 + c];
+      }
+    }
+  }
+  std::ofstream f(path, std::ios::binary);
+  f.write(reinterpret_cast<const char *>(bgr.data()),
+          static_cast<std::streamsize>(bgr.size()));
+  std::printf("dumped %s %d %d\n", path.c_str(), vi.width, vi.height);
+  return f.good();
+}
+
+}  // namespace
+
+// Plugin entry point (defined in plugins/avisynth/main.cc).
+extern "C" const char *AVS_CALL AvisynthPluginInit3(
+    IScriptEnvironment *env, const AVS_Linkage *vectors);
+
+int main(int argc, char **argv) {
+  if (argc < 3) {
+    std::fprintf(stderr, "usage: %s <model_package> <out_dir>\n",
+                 argv[0]);
+    return 2;
+  }
+  const std::string modelPath = argv[1];
+  const std::string outDir = argv[2];
+
+  FakeEnv env;
+  const char *desc = AvisynthPluginInit3(&env, nullptr);
+  HOST_CHECK(desc != nullptr && std::strlen(desc) > 0);
+  HOST_CHECK(env.registered.apply != nullptr);
+  HOST_CHECK(env.registered.name == "JoshUpscale");
+
+  // Input size comes from the package spec the mock already knows;
+  // probe by constructing with a WRONG size first (error path), then
+  // parse the sizes the error message reports?  Simpler: the caller
+  // passes them via env vars set by the test.
+  const char *wEnv = std::getenv("FAKE_AVS_WIDTH");
+  const char *hEnv = std::getenv("FAKE_AVS_HEIGHT");
+  HOST_CHECK(wEnv != nullptr && hEnv != nullptr);
+  const int W = std::atoi(wEnv);
+  const int H = std::atoi(hEnv);
+
+  // Error path 1: missing model_path argument.
+  {
+    AVSValue args[1] = {AVSValue(new SourceClip(W, H, 60))};
+    bool threw = false;
+    try {
+      env.registered.apply(AVSValue(args, 1), env.registered.userData,
+                           &env);
+    } catch (const std::exception &e) {
+      threw = true;
+      HOST_CHECK(std::strstr(e.what(), "model_path") != nullptr);
+    }
+    HOST_CHECK(threw);
+  }
+
+  // Error path 2: wrong input size.
+  {
+    AVSValue args[2] = {AVSValue(new SourceClip(W + 4, H, 60)),
+                        AVSValue(modelPath.c_str())};
+    bool threw = false;
+    try {
+      env.registered.apply(AVSValue(args, 2), env.registered.userData,
+                           &env);
+    } catch (const std::exception &e) {
+      threw = true;
+      HOST_CHECK(std::strstr(e.what(), "video size") != nullptr);
+    }
+    HOST_CHECK(threw);
+  }
+
+  // The real filter.
+  AVSValue args[3] = {AVSValue(new SourceClip(W, H, 60)),
+                      AVSValue(modelPath.c_str()), AVSValue(0)};
+  AVSValue result = env.registered.apply(
+      AVSValue(args, 3), env.registered.userData, &env);
+  PClip filter = result.AsClip();
+  const VideoInfo &vi = filter->GetVideoInfo();
+  HOST_CHECK(vi.width == W * 4 && vi.height == H * 4);
+  HOST_CHECK(filter->SetCacheHints(CACHE_GET_MTMODE, 0) ==
+             MT_SERIALIZED);
+  HOST_CHECK(filter->SetCacheHints(CACHE_GET_DEV_TYPE, 0) ==
+             DEV_TYPE_CPU);
+
+  // Seek scenario (VideoStream semantics, kMaxBacktrack = 16):
+  //   frames 0..3 sequential; back-seek 2 (LRU cache hit, identical
+  //   bytes); forward 7 (bounded replay of 4..6); forward 40 (jump
+  //   past backtrack: reset + 16-frame warm-up); back-seek 3 (out of
+  //   cache: reset + clamped warm-up on frame 0).
+  auto get = [&](int n, const char *label) {
+    PVideoFrame f = filter->GetFrame(n, &env);
+    HOST_CHECK(dumpFrame(f, vi, outDir + "/" + label + ".raw"));
+    return f;
+  };
+  for (int n = 0; n <= 3; ++n) {
+    char label[32];
+    std::snprintf(label, sizeof(label), "seq_%d", n);
+    get(n, label);
+  }
+  {
+    // Cached back-seek: identical bytes to the sequential frame 2.
+    PVideoFrame again = filter->GetFrame(2, &env);
+    HOST_CHECK(dumpFrame(again, vi, outDir + "/back_2.raw"));
+  }
+  get(7, "fwd_7");
+  get(40, "jump_40");
+  get(3, "backjump_3");
+
+  if (g_failures != 0) {
+    std::fprintf(stderr, "fake avisynth host: %d failures\n",
+                 g_failures);
+    return 1;
+  }
+  std::printf("fake avisynth host OK\n");
+  return 0;
+}

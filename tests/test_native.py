@@ -179,6 +179,144 @@ def test_plugin_shims_compile_against_stub_headers():
                for f in built), built
 
 
+def _host_pattern(h, w, n=0):
+    """The fake hosts' deterministic source pattern (fake_obs_host.cc
+    stagePattern / fake_avisynth_host.cc SourceClip), model row order."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(y * 31 + x * 7 + c * 3 + n * 5) % 256
+                     for c in range(3)], -1).astype(np.uint8)
+
+
+def _masked_compose(out, orig, mask):
+    """numpy replica of native/src/compose.cc: nearest-scale the
+    original frame and the keep-mask to the output size, fixed-point
+    blend (keep=255 passes the upscale through untouched)."""
+    H, W, _ = out.shape
+    o = orig[np.arange(H) * orig.shape[0] // H][
+        :, np.arange(W) * orig.shape[1] // W].astype(np.uint32)
+    keep = mask[np.arange(H) * mask.shape[0] // H][
+        :, np.arange(W) * mask.shape[1] // W].astype(np.uint32)[..., None]
+    v = o * (255 - keep) + out.astype(np.uint32) * keep + 128
+    composed = ((v + (v >> 8)) >> 8).astype(np.uint8)
+    return np.where(keep == 255, out, composed).astype(np.uint8)
+
+
+@needs_toolchain
+def test_fake_obs_host_end_to_end(tmp_path):
+    """The OBS filter shim's OWN code RUNS end to end: an executable
+    fake libobs host (native/tests/fake_obs_host.cc implements the
+    clean-room stub API with real semantics) drives create -> render
+    (staged frame -> upscale -> presented texture) -> 30 FPS pacing ->
+    update() model swap to the PS2 family (masked HUD compose) ->
+    missing-model error fallback (skip filter, then recover).  Output
+    frames are compared byte for byte against the mock PJRT rule (+
+    the compose replica), proving the filter stages, processes, and
+    presents the actual bytes.  Reference behavior being matched:
+    obs_plugin/src/filter.cc:182-226 (render loop), :133-152 (model
+    table)."""
+    _build()
+    host = os.path.join(BUILD, "fake_obs_host")
+    if not (os.path.exists(host) and _mock_pjrt_available()):
+        pytest.skip("fake OBS host not built (real SDK present?)")
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    _, (h1, w1) = _save_pjrt_package(data_dir / "model_psp", "resnet")
+    _, (h2, w2) = _save_pjrt_package(data_dir / "model_ps2",
+                                     "ps2_autoencoder")
+    from PIL import Image
+
+    mask = np.zeros((8, 8), np.uint8)
+    mask[:4, :] = 255  # top half keeps the upscale, bottom half blends
+    Image.fromarray(mask, mode="L").save(data_dir / "mask.png")
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    env = _subprocess_env()
+    env["JOSHUPSCALE_PJRT_PLUGIN"] = os.path.join(
+        BUILD, "libmock_pjrt.so")
+    result = subprocess.run(
+        [host, str(data_dir), str(out_dir)],
+        env=env, capture_output=True, text=True, timeout=180,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "fake obs host OK" in result.stdout
+
+    def presented(name, H, W):
+        raw = np.fromfile(out_dir / name, np.uint8)
+        return raw.reshape(4 * H, 4 * W, 4)[:, :, :3]  # BGRX -> BGR
+
+    pat1 = _host_pattern(h1, w1)
+    np.testing.assert_array_equal(
+        presented("psp_0.raw", h1, w1),
+        _mock_expected(pat1, 0, h1, w1).reshape(4 * h1, 4 * w1, 3))
+    np.testing.assert_array_equal(
+        presented("psp_1.raw", h1, w1),
+        _mock_expected(pat1, 1, h1, w1).reshape(4 * h1, 4 * w1, 3))
+    pat2 = _host_pattern(h2, w2)
+    expect_ps2 = _masked_compose(
+        _mock_expected(pat2, 0, h2, w2).reshape(4 * h2, 4 * w2, 3),
+        pat2, mask)
+    np.testing.assert_array_equal(
+        presented("ps2_0.raw", h2, w2), expect_ps2)
+    # Recovery after the missing-model fallback reloads the runtime,
+    # so the recurrent counter restarts at t=0.
+    np.testing.assert_array_equal(
+        presented("ps2_recovered.raw", h2, w2), expect_ps2)
+
+
+@needs_toolchain
+def test_fake_avisynth_host_seek_patterns(tmp_path):
+    """The AviSynth shim's OWN code RUNS end to end: an executable fake
+    host (native/tests/fake_avisynth_host.cc over the inline-implemented
+    stub header) calls AvisynthPluginInit3, constructs the filter
+    through the registered factory (including ThrowError paths for a
+    missing model_path and a wrong video size), and drives GetFrame
+    under real script seek patterns: sequential, cached back-seek,
+    bounded forward replay, jump past the backtrack window (stream
+    reset + 16-frame warm-up), and an out-of-cache back-seek (reset +
+    clamped warm-up on frame 0).  Every output frame is compared byte
+    for byte against the mock PJRT rule with the executions-since-reset
+    counter the VideoStream semantics imply.  Reference behavior being
+    matched: avisynth_plugin/src/main.cc:83-157."""
+    _build()
+    host = os.path.join(BUILD, "fake_avisynth_host")
+    if not (os.path.exists(host) and _mock_pjrt_available()):
+        pytest.skip("fake AviSynth host not built (real SDK present?)")
+
+    pkg = tmp_path / "model"
+    _, (H, W) = _save_pjrt_package(pkg, "resnet")
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    env = _subprocess_env()
+    env["JOSHUPSCALE_PJRT_PLUGIN"] = os.path.join(
+        BUILD, "libmock_pjrt.so")
+    env["MOCK_PJRT_SPEC"] = str(pkg / "step_spec.txt")
+    env["FAKE_AVS_WIDTH"] = str(W)
+    env["FAKE_AVS_HEIGHT"] = str(H)
+    result = subprocess.run(
+        [host, str(pkg), str(out_dir)],
+        env=env, capture_output=True, text=True, timeout=180,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "fake avisynth host OK" in result.stdout
+
+    # (label, source frame n, executions since last stream reset t):
+    # seq 0..3 count up; back_2 is an LRU cache hit (same bytes as
+    # seq_2); fwd_7 replays 4..6 first; jump_40 resets and warms up 16
+    # frames (24..39) before 40; backjump_3 resets with the warm-up
+    # clamped to source frame 0 (13 clamped + frames 0..2), then 3.
+    expect = [("seq_0", 0, 0), ("seq_1", 1, 1), ("seq_2", 2, 2),
+              ("seq_3", 3, 3), ("back_2", 2, 2), ("fwd_7", 7, 7),
+              ("jump_40", 40, 16), ("backjump_3", 3, 16)]
+    for label, n, t in expect:
+        raw = np.fromfile(out_dir / f"{label}.raw", np.uint8)
+        got = raw.reshape(4 * H, 4 * W, 3)
+        np.testing.assert_array_equal(
+            got, _mock_expected(_host_pattern(H, W, n), t, H, W)
+            .reshape(4 * H, 4 * W, 3), err_msg=label)
+
+
 @needs_toolchain
 def test_mask_asset_loads_and_composes(tmp_path):
     """The SHIPPED PS2 HUD mask asset (native/plugins/obs/data/mask.png,
@@ -210,18 +348,13 @@ def test_mask_asset_loads_and_composes(tmp_path):
     assert set(np.unique(ref)) == {0, 255}
 
 
-@pytest.fixture(scope="module", params=["resnet", "ps2_autoencoder"])
-def pjrt_package(request, tmp_path_factory):
-    """A package WITH the Python-free PJRT serving artifacts, for BOTH
-    shipped model families (reference obs_plugin/src/filter.cc:138-143
-    treats PSP/resnet and PS2 as co-equal): the resnet quality graph
-    and the PS2-style tier (autoencoder-ladder flow + in-graph frame
-    padding + brightness normalization, configs/inference_ps2_style
-    .yaml shrunk to test size)."""
-    from joshupscale_tpu.export.package import save_package
-    from joshupscale_tpu.models import create_models
-
-    if request.param == "resnet":
+def _pjrt_model_config(family):
+    """Test-size model configs for both shipped families (reference
+    obs_plugin/src/filter.cc:138-143 treats PSP/resnet and PS2 as
+    co-equal): the resnet quality graph and the PS2-style tier
+    (autoencoder-ladder flow + in-graph frame padding + brightness
+    normalization, configs/inference_ps2_style.yaml shrunk)."""
+    if family == "resnet":
         config = {
             "flow": {"name": "flow-resnet", "num_inputs": 4,
                      "num_filters": 8, "num_res_blocks": 1},
@@ -255,13 +388,30 @@ def pjrt_package(request, tmp_path_factory):
                 "normalize_brightness": True,
             },
         }
+    return config
+
+
+def _save_pjrt_package(path, family):
+    """Build + save a serving package (with step.mlir) for `family`;
+    returns (inference model handle, (H, W))."""
+    from joshupscale_tpu.export.package import save_package
+    from joshupscale_tpu.models import create_models
+
+    config = _pjrt_model_config(family)
     models = create_models(config, seed=7)
-    path = tmp_path_factory.mktemp("pjrt_pkg") / "model"
     save_package(str(path), config, models["inference"],
                  export_stablehlo=True)
     m = models["inference"].obj
-    return str(path), models["inference"], (m.frame_height,
-                                            m.frame_width)
+    return models["inference"], (m.frame_height, m.frame_width)
+
+
+@pytest.fixture(scope="module", params=["resnet", "ps2_autoencoder"])
+def pjrt_package(request, tmp_path_factory):
+    """A package WITH the Python-free PJRT serving artifacts, for both
+    shipped model families."""
+    path = tmp_path_factory.mktemp("pjrt_pkg") / "model"
+    model, (h, w) = _save_pjrt_package(path, request.param)
+    return str(path), model, (h, w)
 
 
 def _mock_pjrt_available():
