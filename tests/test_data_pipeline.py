@@ -137,3 +137,49 @@ def test_map_num_parallel_preserves_order():
     # restartable: a second pull re-runs the pool cleanly
     op = Double("d", num_parallel=3)(range(10))
     assert list(op) == list(op)
+
+
+def test_display_data_helpers(tmp_path):
+    """Notebook display helpers (reference utils.py:113-148 analog)
+    render paired-sequence and single-window elements headlessly."""
+    from joshupscale_tpu.utils.display import (
+        display_comparison, display_data, to_display)
+
+    rng = np.random.default_rng(0)
+    # to_display: u8 and normalized-float conventions, BGR flip.
+    u8 = rng.integers(0, 256, (4, 4, 3), np.uint8)
+    disp = to_display(u8)
+    assert disp.dtype == np.float32 and disp.max() <= 1.0
+    assert np.allclose(disp[..., 0], u8[..., 2] / 255.0)
+    norm = rng.uniform(-0.5, 0.5, (4, 4, 3)).astype(np.float32)
+    assert np.allclose(to_display(norm, bgr=False), norm + 0.5,
+                       atol=1e-6)
+
+    paired = [{"input": rng.uniform(-0.5, 0.5, (3, 4, 4, 3)),
+               "target": rng.uniform(-0.5, 0.5, (3, 16, 16, 3))}
+              for _ in range(2)]
+    out = tmp_path / "paired.png"
+    display_data(iter(paired), num_img=2, save_path=str(out))
+    assert out.stat().st_size > 0
+
+    single = [{"input": rng.uniform(-0.5, 0.5, (3, 4, 4, 3)),
+               "last": rng.uniform(-0.5, 0.5, (16, 16, 3)),
+               "target": rng.uniform(-0.5, 0.5, (16, 16, 3))}]
+    out2 = tmp_path / "single.png"
+    display_data(iter(single), num_img=1, save_path=str(out2))
+    assert out2.stat().st_size > 0
+
+    # Batched elements are unbatched transparently.
+    batched = [{"input": rng.uniform(-0.5, 0.5, (2, 3, 4, 4, 3)),
+                "target": rng.uniform(-0.5, 0.5, (2, 3, 16, 16, 3))}]
+    out3 = tmp_path / "batched.png"
+    display_data(iter(batched), num_img=2, save_path=str(out3))
+    assert out3.stat().st_size > 0
+
+    out4 = tmp_path / "cmp.png"
+    display_comparison(
+        rng.integers(0, 256, (8, 8, 3), np.uint8),
+        rng.integers(0, 256, (32, 32, 3), np.uint8),
+        rng.integers(0, 256, (32, 32, 3), np.uint8),
+        save_path=str(out4))
+    assert out4.stat().st_size > 0
