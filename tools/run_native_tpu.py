@@ -20,7 +20,10 @@ Steps:
      u8 diff + both timings.
 
 Usage: python tools/run_native_tpu.py [--frames 96] [--tiny]
-       (--tiny: 32x48 geometry for a quick smoke / wedged-tunnel test)
+       (--tiny: 32x48 geometry for a quick smoke / wedged-tunnel test;
+        --pipeline: serve through the async 1-deep in-flight queue --
+        the sync-vs-pipeline delta on the tiny model measures how much
+        per-frame fixed cost the overlap hides)
 """
 
 import argparse
@@ -43,6 +46,9 @@ def main() -> int:
     ap.add_argument("--plugin", default="/opt/axon/libaxon_pjrt.so")
     ap.add_argument("--package", default=None,
                     help="existing package dir (skips model build)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="run upscale_cli --pipeline (async double-"
+                         "buffered serving, joshupscale_process_async)")
     args = ap.parse_args()
 
     import numpy as np
@@ -109,8 +115,11 @@ def main() -> int:
     env["JOSHUPSCALE_PJRT_OPTIONS"] = opts_path
     print(f"running upscale_cli ({n} frames {w}x{h} -> {4*w}x{4*h}) "
           f"via {args.plugin} ...", flush=True)
+    cli_args = [os.path.join(BUILD, "upscale_cli")]
+    if args.pipeline:
+        cli_args.append("--pipeline")
     r = subprocess.run(
-        [os.path.join(BUILD, "upscale_cli"), pkg, in_raw, out_raw],
+        [*cli_args, pkg, in_raw, out_raw],
         env=env, capture_output=True, text=True, timeout=3600)
     sys.stderr.write(r.stderr[-2000:])
     if r.returncode != 0:
