@@ -46,11 +46,22 @@ _ERROR = "error"
 
 @dataclasses.dataclass(frozen=True)
 class WorkerInfo:
-    """Identity handed to a batch-source factory inside a worker."""
+    """Identity handed to a batch-source factory inside a worker.
+
+    ``seed`` is this worker's privately spawned seed (distinct per
+    worker).  ``root_seed`` is the loader-level seed, IDENTICAL across
+    all workers of one loader: a factory that shards a shuffled source
+    must seed the source from ``root_seed`` (so every worker sees the
+    same source order and the strided shards are disjoint) and may use
+    ``seed``/the shard index for everything downstream.  Always set --
+    an unseeded loader draws one random root in the parent so sharding
+    stays correct.
+    """
 
     index: int
     num_workers: int
     seed: Optional[int]
+    root_seed: int = 0
 
 
 def _unregister_shm(shm: shared_memory.SharedMemory) -> None:
@@ -194,12 +205,17 @@ class MultiprocessLoader:
         seeds = ([None] * self.num_workers if self.seed is None else
                  [int(s.generate_state(1)[0]) for s in
                   np.random.SeedSequence(self.seed).spawn(self.num_workers)])
+        # The shared root: even an unseeded loader needs ONE source
+        # order common to all workers (see WorkerInfo.root_seed), so
+        # draw a random root in the parent when no seed was given.
+        root = (self.seed if self.seed is not None
+                else int(np.random.SeedSequence().generate_state(1)[0]))
         queues = [ctx.Queue(maxsize=self.prefetch)
                   for _ in range(self.num_workers)]
         procs = []
         with _CleanWorkerEnv():
             for i in range(self.num_workers):
-                info = WorkerInfo(i, self.num_workers, seeds[i])
+                info = WorkerInfo(i, self.num_workers, seeds[i], root)
                 p = ctx.Process(
                     target=_worker_main,
                     args=(self.factory, info, queues[i], cancel),
@@ -237,19 +253,32 @@ class MultiprocessLoader:
                 pos = (pos + 1) % len(alive)
         finally:
             cancel.set()
-            for q in queues:  # drain so workers blocked on put() exit
-                try:
-                    while True:
-                        kind, a, b = q.get_nowait()
-                        if kind == _DATA:
-                            _unpack(a, b)
-                except (queuelib.Empty, OSError):
-                    pass
+
+            def drain():
+                for q in queues:
+                    try:
+                        while True:
+                            kind, a, b = q.get_nowait()
+                            if kind == _DATA:
+                                _unpack(a, b)  # copy-out + unlink
+                    except (queuelib.Empty, OSError):
+                        pass
+
+            drain()  # unblock workers stuck on a full queue
             for p in procs:
                 p.join(timeout=5.0)
                 if p.is_alive():  # pragma: no cover - stuck worker
                     p.terminate()
                     p.join(timeout=5.0)
+            # Second drain AFTER the joins: a worker's final put() can
+            # complete between the first drain and its exit (mp.Queue
+            # hands items to a feeder thread, so put() returning does
+            # not mean the parent could see it yet).  The worker already
+            # transferred unlink responsibility for that segment to us;
+            # missing it here would leak the /dev/shm segment until
+            # reboot.  After join the feeder threads have flushed, so
+            # this pass sees everything that was ever sent.
+            drain()
             for q in queues:
                 q.close()
 
@@ -257,10 +286,13 @@ class MultiprocessLoader:
 class ConfigPipelineFactory:
     """Picklable factory: build a config pipeline shard in a worker.
 
-    Each worker runs ``create_dataset(config, seed=worker_seed,
-    shard=(num_workers, index))`` followed by the trailing ops (batch),
-    so the union of worker shards is exactly one pass over the source
-    and augmentation draws come from per-worker spawned generators.
+    Each worker runs ``create_dataset(config, seed=info.root_seed,
+    shard=(num_workers, index))`` followed by the trailing ops (batch).
+    The ROOT seed is shared across workers, which is what makes the
+    shards one exact pass over the source: create_dataset seeds the
+    source op identically everywhere (one shared shuffle order;
+    strided shards disjoint) and re-spawns every downstream op's
+    generator by shard index (decorrelated augmentation draws).
     """
 
     def __init__(self, config, batch_size: Optional[int] = None):
@@ -276,6 +308,6 @@ class ConfigPipelineFactory:
                 {"name": "BatchOp", "batch_size": self.batch_size}
             ]
         return create_dataset(
-            config, seed=info.seed,
+            config, seed=info.root_seed,
             shard=(info.num_workers, info.index),
         )

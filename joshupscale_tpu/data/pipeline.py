@@ -41,13 +41,27 @@ Stream = Iterator[Any]
 # safe to run in parallel worker processes).  Unseeded pipelines get a
 # fresh OS-entropy generator per op (the old global-np.random behavior,
 # still nondeterministic run to run).
-_OP_RANDOMNESS: List[Tuple[np.random.Generator,
-                           Optional[np.random.SeedSequence]]] = []
+#
+# THREAD-LOCAL: sub-pipelines are built lazily at first iteration
+# (SampleDatasetOp.gen), which runs on whatever thread consumes the
+# stream -- a PrefetchOp or fit() _InputStager thread.  A process-global
+# stack would let a concurrent main-thread create_dataset interleave
+# push/pop with that build and silently hand ops the wrong seeds.
+_OP_CTX = threading.local()
+
+
+def _op_randomness_stack() -> List[Tuple[np.random.Generator,
+                                         Optional[np.random.SeedSequence]]]:
+    stack = getattr(_OP_CTX, "stack", None)
+    if stack is None:
+        stack = _OP_CTX.stack = []
+    return stack
 
 
 def _take_op_randomness():
-    if _OP_RANDOMNESS:
-        return _OP_RANDOMNESS[-1]
+    stack = _op_randomness_stack()
+    if stack:
+        return stack[-1]
     return np.random.default_rng(), None
 
 
@@ -881,6 +895,15 @@ def create_dataset(config: List[Dict[str, Any]],
     seeds keras/np/random globally for the same guarantee).
     ``shard=(n, i)`` keeps every n-th element of the FIRST op's output
     (worker sharding; see :mod:`joshupscale_tpu.data.mploader`).
+
+    Sharded seeding contract: every worker must pass the SAME ``seed``
+    with its own ``shard=(n, i)``.  The SOURCE op's child seed is then
+    identical across workers -- so all workers see one shared source
+    order and the strided shards are disjoint and exactly cover it --
+    while every DOWNSTREAM op's child is re-spawned per shard index, so
+    crop/noise/flip draws decorrelate across workers.  (Seeding the
+    source per-worker would shard n different permutations: some groups
+    repeated, others dropped -- silently biased epochs.)
     """
     data = None
     seq = None
@@ -889,6 +912,11 @@ def create_dataset(config: List[Dict[str, Any]],
                else np.random.SeedSequence(seed))
     children = (seq.spawn(len(config)) if seq is not None
                 else [None] * len(config))
+    if shard is not None and seq is not None:
+        n, i = shard
+        children = [children[0]] + [
+            c.spawn(n)[i] for c in children[1:]
+        ]
     for idx, op_config in enumerate(config):
         if "name" not in op_config:
             raise ValueError("Op name is not defined")
@@ -896,14 +924,15 @@ def create_dataset(config: List[Dict[str, Any]],
         if name not in DATASET_OPS:
             raise ValueError(f"Unknown dataset op: {name}")
         child = children[idx]
-        _OP_RANDOMNESS.append(
+        stack = _op_randomness_stack()
+        stack.append(
             (np.random.default_rng(child), child) if child is not None
             else (np.random.default_rng(), None)
         )
         try:
             op = DATASET_OPS[name](**op_config)
         finally:
-            _OP_RANDOMNESS.pop()
+            stack.pop()
         data = op(data)
         if idx == 0 and shard is not None:
             data = _shard_stream(data, *shard)

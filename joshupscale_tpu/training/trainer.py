@@ -708,94 +708,100 @@ def fit(
             acc.update(tree)
         pending_metrics.clear()
 
-    for epoch in range(epochs):
-        acc.reset()
-        t0 = time.time()
-        executions = max(steps_per_epoch // spe, 1)
-        for _ in range(executions):
-            batch = next(batch_iter)
-            rng, step_rng = jax.random.split(rng)
-            if profile_dir is not None:
-                if not profiling and global_step >= profile_batch[0]:
-                    jax.profiler.start_trace(profile_dir)
-                    profiling = True
-                elif profiling and global_step > profile_batch[1]:
-                    jax.profiler.stop_trace()
-                    profiling = False
-            state, metrics = step_fn(state, batch, step_rng)
-            global_step += spe
-            # Defer the metric fetch: jax dispatch is async, but
-            # fetching a metric blocks the host until the step
-            # finishes (a full round-trip per ARRAY through a remote
-            # tunnel), serializing host batch prep against device
-            # compute.  Holding the trees on device (scalars; bytes,
-            # not MBs) and fetching them in one batched device_get at
-            # epoch end costs ~one round-trip per EPOCH.
-            pending_metrics.append(metrics)
-            if metric_lag is not None and len(pending_metrics) > metric_lag:
-                acc.update(jax.device_get(pending_metrics.popleft()))
-        _drain_pending()
-        train_metrics = acc.result()
-        if any(not np.isfinite(v) for v in train_metrics.values()):
-            log_fn(f"epoch {epoch}: non-finite metric, terminating: "
-                   f"{train_metrics}")
-            break
+    try:
+        for epoch in range(epochs):
+            acc.reset()
+            t0 = time.time()
+            executions = max(steps_per_epoch // spe, 1)
+            for _ in range(executions):
+                batch = next(batch_iter)
+                rng, step_rng = jax.random.split(rng)
+                if profile_dir is not None:
+                    if not profiling and global_step >= profile_batch[0]:
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    elif profiling and global_step > profile_batch[1]:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                state, metrics = step_fn(state, batch, step_rng)
+                global_step += spe
+                # Defer the metric fetch: jax dispatch is async, but
+                # fetching a metric blocks the host until the step
+                # finishes (a full round-trip per ARRAY through a remote
+                # tunnel), serializing host batch prep against device
+                # compute.  Holding the trees on device (scalars; bytes,
+                # not MBs) and fetching them in one batched device_get at
+                # epoch end costs ~one round-trip per EPOCH.
+                pending_metrics.append(metrics)
+                if metric_lag is not None and len(pending_metrics) > metric_lag:
+                    acc.update(jax.device_get(pending_metrics.popleft()))
+            _drain_pending()
+            train_metrics = acc.result()
+            if any(not np.isfinite(v) for v in train_metrics.values()):
+                log_fn(f"epoch {epoch}: non-finite metric, terminating: "
+                       f"{train_metrics}")
+                break
 
-        entry = {"epoch": epoch, "time": time.time() - t0,
-                 **{f"train_{k}": v for k, v in train_metrics.items()}}
-        if val_fn is not None and val_data is not None:
-            vacc = MeanAccumulator()
-            # Deterministic per-batch val rng: the FRVSR/GAN forward
-            # draws a random first-frame pre_warp; a fresh key per
-            # epoch would make val_loss (the checkpoint/early-stop
-            # monitor) jitter by the draw instead of by the model.
-            for val_i, batch in enumerate(val_data):
-                vacc.update(val_fn(state, device_normalize(batch),
-                                   jax.random.fold_in(
-                                       jax.random.PRNGKey(0), val_i)))
-            entry.update(
-                {f"val_{k}": v for k, v in vacc.result().items()}
-            )
-
-        history.append(entry)
-        if tb is not None:
-            tb.scalars(
-                {k: v for k, v in entry.items()
-                 if k not in ("epoch",) and isinstance(v, float)},
-                step=epoch,
-            )
-        log_fn(
-            f"epoch {epoch}: "
-            + " ".join(f"{k}={v:.4g}" for k, v in entry.items()
-                       if k != "epoch")
-        )
-
-        if checkpoint_dir is not None:
-            tree = state.tree() if hasattr(state, "tree") else state
-            save_checkpoint(
-                os.path.join(checkpoint_dir, "latest.npz"), tree
-            )
-            with open(os.path.join(checkpoint_dir, "history.json"),
-                      "w") as f:
-                json.dump(history, f)
-            current = entry.get(f"val_{monitor}",
-                                entry.get(f"train_{monitor}"))
-            if current is not None and current < best:
-                best = current
-                stale = 0
-                save_checkpoint(
-                    os.path.join(checkpoint_dir, "best.npz"), tree
+            entry = {"epoch": epoch, "time": time.time() - t0,
+                     **{f"train_{k}": v for k, v in train_metrics.items()}}
+            if val_fn is not None and val_data is not None:
+                vacc = MeanAccumulator()
+                # Deterministic per-batch val rng: the FRVSR/GAN forward
+                # draws a random first-frame pre_warp; a fresh key per
+                # epoch would make val_loss (the checkpoint/early-stop
+                # monitor) jitter by the draw instead of by the model.
+                for val_i, batch in enumerate(val_data):
+                    vacc.update(val_fn(state, device_normalize(batch),
+                                       jax.random.fold_in(
+                                           jax.random.PRNGKey(0), val_i)))
+                entry.update(
+                    {f"val_{k}": v for k, v in vacc.result().items()}
                 )
-            else:
-                stale += 1
-        if epoch_callback is not None:
-            epoch_callback(epoch, state, entry)
-        if (early_stopping_patience is not None
-                and stale > early_stopping_patience):
-            log_fn(f"early stopping at epoch {epoch}")
-            break
-    if profiling:
-        jax.profiler.stop_trace()
-    if isinstance(batch_iter, _InputStager):
-        batch_iter.close()
+
+            history.append(entry)
+            if tb is not None:
+                tb.scalars(
+                    {k: v for k, v in entry.items()
+                     if k not in ("epoch",) and isinstance(v, float)},
+                    step=epoch,
+                )
+            log_fn(
+                f"epoch {epoch}: "
+                + " ".join(f"{k}={v:.4g}" for k, v in entry.items()
+                           if k != "epoch")
+            )
+
+            if checkpoint_dir is not None:
+                tree = state.tree() if hasattr(state, "tree") else state
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, "latest.npz"), tree
+                )
+                with open(os.path.join(checkpoint_dir, "history.json"),
+                          "w") as f:
+                    json.dump(history, f)
+                current = entry.get(f"val_{monitor}",
+                                    entry.get(f"train_{monitor}"))
+                if current is not None and current < best:
+                    best = current
+                    stale = 0
+                    save_checkpoint(
+                        os.path.join(checkpoint_dir, "best.npz"), tree
+                    )
+                else:
+                    stale += 1
+            if epoch_callback is not None:
+                epoch_callback(epoch, state, entry)
+            if (early_stopping_patience is not None
+                    and stale > early_stopping_patience):
+                log_fn(f"early stopping at epoch {epoch}")
+                break
+    finally:
+        # A raise out of the loop (compile error, user interrupt,
+        # callback failure) must not leave an open profiler trace
+        # or the stager thread spinning on q.put forever while
+        # pinning staged device batches.
+        if profiling:
+            jax.profiler.stop_trace()
+        if isinstance(batch_iter, _InputStager):
+            batch_iter.close()
     return state, history

@@ -580,14 +580,22 @@ bool PjrtEngine::processAsync(const std::uint8_t *in, std::size_t inSize,
   // Submit frame t BEFORE blocking on frame t-1's D2H: the enqueue
   // order (execute t, then await d2h of t-1) is what lets the copy
   // ride out frame t's device compute.
-  Pending previous = m_pending;
+  //
+  // MOVE, never copy: frame t-1's D2H is still writing into
+  // m_pending.host's heap buffer.  A copy would snapshot the
+  // incomplete bytes AND free the DMA destination when m_pending is
+  // reassigned (measured on the real axon plugin: max u8 diff 255 vs
+  // the sync path).  The vector move keeps data() stable, so the
+  // in-flight copy lands in the buffer `previous` now owns.
+  Pending previous = std::move(m_pending);
   m_pending = Pending{};
   try {
     submit(in, inSize, &m_pending);
   } catch (...) {
-    // Restore the old frame so flush() still drains it.
+    // Restore the old frame so flush() still drains it (move again --
+    // its D2H may still be in flight).
     dropPending();
-    m_pending = previous;
+    m_pending = std::move(previous);
     throw;
   }
   return awaitPending(&previous, out);

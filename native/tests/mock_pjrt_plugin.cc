@@ -165,6 +165,13 @@ struct Executable {
 struct Event {
   Error *error = nullptr;  // owned until Await hands it over
   int traceSeq = -1;       // execute seq for D2H events (-1 = untraced)
+  // Deferred D2H: like the real plugin, ToHostBuffer only ENQUEUES the
+  // copy -- the bytes land in dst when the event completes (here: at
+  // Await).  A caller that snapshots/frees its dst buffer before
+  // awaiting reads stale bytes, exactly the failure measured on the
+  // axon plugin (processAsync copy-instead-of-move bug).
+  std::vector<std::uint8_t> deferredSrc;
+  void *deferredDst = nullptr;
 };
 
 }  // namespace
@@ -387,24 +394,28 @@ PJRT_Error *bufferToHostBuffer(PJRT_Buffer_ToHostBuffer_Args *args) {
   if (args->dst_size < src.bytes.size()) {
     return wrap(makeError("destination too small"));
   }
+  std::vector<std::uint8_t> payload;
   if (args->host_layout == nullptr) {
     // Per the C API contract, a null host_layout copies in the SOURCE
     // buffer's layout -- for reversed-layout device buffers that hands
     // the caller scrambled bytes, exactly like the real TPU plugin.
-    std::memcpy(args->dst, src.bytes.data(), src.bytes.size());
+    payload = src.bytes;
   } else if (isDenseRowMajor(args->host_layout, src.spec)) {
-    if (src.reversedLayout) {
-      std::vector<std::uint8_t> rm =
-          convertReversed(src.bytes, src.spec, /*toReversed=*/false);
-      std::memcpy(args->dst, rm.data(), rm.size());
-    } else {
-      std::memcpy(args->dst, src.bytes.data(), src.bytes.size());
-    }
+    payload = src.reversedLayout
+                  ? convertReversed(src.bytes, src.spec,
+                                    /*toReversed=*/false)
+                  : src.bytes;
   } else {
     return wrap(makeError(
         "mock plugin only supports dense row-major host_layout"));
   }
+  // DEFERRED copy: enqueue only; the bytes land in dst at event
+  // completion (Await), like the real plugin's DMA.  Callers that
+  // read/snapshot/free dst before awaiting the event are buggy and
+  // this makes the suite catch them.
   args->event = new PJRT_Event;
+  args->event->impl.deferredSrc = std::move(payload);
+  args->event->impl.deferredDst = args->dst;
   if (src.execSeq >= 0) {
     trace("tohost", src.execSeq);
     args->event->impl.traceSeq = src.execSeq;
@@ -421,8 +432,14 @@ PJRT_Error *eventAwait(PJRT_Event_Await_Args *args) {
   if (args->event->impl.traceSeq >= 0) {
     trace("await_tohost", args->event->impl.traceSeq);
   }
-  Error *e = args->event->impl.error;
-  args->event->impl.error = nullptr;
+  Event &impl = args->event->impl;
+  if (impl.deferredDst != nullptr) {
+    std::memcpy(impl.deferredDst, impl.deferredSrc.data(),
+                impl.deferredSrc.size());
+    impl.deferredDst = nullptr;
+  }
+  Error *e = impl.error;
+  impl.error = nullptr;
   return wrap(e);
 }
 

@@ -276,6 +276,43 @@ def test_fit_loop_runs(rng, tmp_path):
     assert history[1]["train_loss"] < history[0]["train_loss"]
 
 
+def test_fit_raise_stops_stager_thread(rng):
+    """A raise out of the epoch loop must not leak the _InputStager.
+
+    Regression: fit() only closed the stager after a NORMAL loop exit;
+    a failing step/callback left the daemon thread retrying q.put at
+    10 Hz forever while pinning staged device batches.
+    """
+    import threading
+    import time as time_mod
+
+    models = create_models(_config(), seed=0)
+    params = models["frvsr"].params
+    opt = make_optimizer(1e-3)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    batch = _batch(rng)
+
+    def data():
+        while True:
+            yield batch
+
+    def exploding_step(state, batch, rng):
+        raise RuntimeError("boom")
+
+    before = set(threading.enumerate())
+    with pytest.raises(RuntimeError, match="boom"):
+        fit(exploding_step, state, data(), epochs=1, steps_per_epoch=4,
+            rng=jax.random.PRNGKey(6), log_fn=lambda _m: None)
+    deadline = time_mod.time() + 5.0
+    while time_mod.time() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before
+                  if t.is_alive()]
+        if not leaked:
+            break
+        time_mod.sleep(0.05)
+    assert not leaked, f"stager thread(s) leaked: {leaked}"
+
+
 def test_frvsr_steps_per_execution(rng):
     """K-steps-per-execution (scan over optimizer steps) must advance
     the state K steps per call and stay numerically sane."""
