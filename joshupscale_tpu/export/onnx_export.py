@@ -162,6 +162,20 @@ class _GraphBuilder:
             x = self.node("Relu", [x])
             k2, b2 = _fold_conv_bn(blk["conv_2"], blk["bn_2"])
             x = self.conv(x, f"{scope}.{name}.conv_2", k2, b2)
+            if "fade" in blk:
+                # Fade-in scale min(counter/period, 1) on the residual
+                # branch (models/common.py Mutables.fade_in; reference
+                # keras_layers.py FadeInLayer).  Static at export time;
+                # a fully faded-in block (scale == 1) emits nothing.
+                counter = float(np.asarray(blk["fade"]["counter"]))
+                period = max(float(np.asarray(blk["fade"]["period"])),
+                             1.0)
+                scale = min(counter / period, 1.0)
+                if scale != 1.0:
+                    x = self.node(
+                        "Mul",
+                        [x, self.tensor(f"{scope}.{name}.fade_scale",
+                                        np.float32(scale))])
             x = self.node("Add", [x, shortcut])
             x = self.node("Relu", [x])
         return x
@@ -368,8 +382,19 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
                          np.arange(hr_w, dtype=np.float32),
                          indexing="ij")
     base = np.stack([yy, xx], axis=-1)[None]  # (1, 4H, 4W, 2) (y, x)
+    # The COORDINATE math stays f32 in the fp16 tier: float16 cannot
+    # represent sub-pixel offsets once the HR coordinate reaches 1024
+    # (f16(1919.0 - 0.37) == 1919.0), so an f16 grid snaps most of a
+    # 1080p frame's warp to whole pixels and the error compounds
+    # through the recurrence.  Same reasoning keeps Resize scales f32
+    # (the reference's fp16 converter fixes those back too,
+    # onnx/quantize_fp16.py:69-75).  GridSample runs on a cast-up copy
+    # and the sample is cast back to storage precision.
+    if g.fp16:
+        flow_nhwc = g.node("Cast", [flow_nhwc], to=om.FLOAT)
     query = g.node(
-        "Sub", [g.tensor("warp.base_grid", base), flow_nhwc])
+        "Sub", [g.tensor("warp.base_grid", base, keep_f32=True),
+                flow_nhwc])
     # (y, x) -> (x, y) via the same reverse slice the reference emits.
     sliced = g.node(
         "Slice",
@@ -381,15 +406,22 @@ def export_onnx(path: str, params: Dict[str, Any], frame_height: int,
     norm = g.node(
         "Div", [sliced, g.tensor(
             "warp.norm", np.asarray([hr_w * 0.5, hr_h * 0.5],
-                                    np.float32))])
+                                    np.float32), keep_f32=True)])
     grid = g.node(
         "Add", [norm, g.tensor(
             "warp.shift", np.asarray(
-                [-1 + 1 / hr_w, -1 + 1 / hr_h], np.float32))])
+                [-1 + 1 / hr_w, -1 + 1 / hr_h], np.float32),
+            keep_f32=True)])
+    gs_x = (g.node("Cast", ["pre_gen"], to=om.FLOAT)
+            if g.fp16 else "pre_gen")
     pre_warp = g.node(
-        "GridSample", ["pre_gen", grid], mode="bilinear",
+        "GridSample", [gs_x, grid], mode="bilinear",
         padding_mode="border", align_corners=0,
-        out=None if normalize_brightness else "pre_warp")
+        out=None if (normalize_brightness or g.fp16) else "pre_warp")
+    if g.fp16:
+        pre_warp = g.node(
+            "Cast", [pre_warp], to=om.FLOAT16,
+            out=None if normalize_brightness else "pre_warp")
     if normalize_brightness:
         # The recurrent state is carried at normalized brightness;
         # the generator sees the warp at the CURRENT frame's

@@ -22,6 +22,12 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from joshupscale_tpu.export import onnx_minimal as om
+
+# Cast "to" attribute (TensorProto dtype code) -> numpy dtype.
+_CAST_DT = {om.FLOAT: np.float32, om.FLOAT16: np.float16,
+            om.UINT8: np.uint8, om.INT32: np.int32, om.INT64: np.int64}
+
 
 def _conv(x, w, b, strides, pads):
     import jax
@@ -215,12 +221,26 @@ def run_graph(model: Dict[str, Any],
         elif op == "DequantizeLinear":
             scale = _qdq_scale(i[1], i[0].ndim, a.get("axis"))
             r = i[0].astype(np.float32) * scale
+        elif op == "Cast":
+            r = np.asarray(i[0]).astype(_CAST_DT[a["to"]])
         else:
             raise NotImplementedError(op)
-        if np.asarray(r).dtype == np.int8:
+        if op == "Cast":
+            env[node["outputs"][0]] = np.asarray(r)  # exact target dtype
+        elif np.asarray(r).dtype == np.int8:
             env[node["outputs"][0]] = np.asarray(r)  # quantized edge
         else:
-            env[node["outputs"][0]] = np.asarray(r, fdt)
+            # Storage dtype between nodes: the model float dtype --
+            # EXCEPT inside an explicit f32 island (every float input
+            # f32 in an fp16 graph: the exporter's Cast-fenced
+            # coordinate math, which must not be squashed to f16).
+            floats = [np.asarray(x).dtype for x in i
+                      if x is not None
+                      and np.issubdtype(np.asarray(x).dtype,
+                                        np.floating)]
+            store = (np.float32 if floats
+                     and all(d == np.float32 for d in floats) else fdt)
+            env[node["outputs"][0]] = np.asarray(r, store)
     return {o["name"]: env[o["name"]] for o in model["outputs"]}
 
 

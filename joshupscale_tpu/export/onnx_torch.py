@@ -107,6 +107,15 @@ def run_graph_torch(model: Dict[str, Any],
 
     env = {k: to_t(v) for k, v in model["initializers"].items()}
     env.update({k: to_t(v) for k, v in feeds.items()})
+    # Edge storage precision: compute always runs in f32 tensors, but
+    # fp16 graphs squash each value through f16 between nodes --
+    # EXCEPT edges inside an explicit f32 island (a Cast-to-f32 fence
+    # or keep_f32 initializers: the exporter's coordinate math), which
+    # the deployment runtime stores at full precision too.
+    half = {k: np.asarray(v).dtype == np.float16
+            for k, v in model["initializers"].items()}
+    half.update({k: np.asarray(v).dtype == np.float16
+                 for k, v in feeds.items()})
 
     for node in model["nodes"]:
         op = node["op_type"]
@@ -146,8 +155,9 @@ def run_graph_torch(model: Dict[str, Any],
         elif op == "Slice":
             starts, ends, axes, steps = (int(i[1][0]), int(i[2][0]),
                                          int(i[3][0]), int(i[4][0]))
-            # torch has no negative-step slicing; resolve to indices.
-            dim = i[0].shape[axes] if axes >= 0 else i[0].shape[axes]
+            # torch has no negative-step slicing; resolve to indices
+            # (negative axes index shape directly).
+            dim = i[0].shape[axes]
             idx = list(range(dim))[slice(
                 starts, None if ends == -dim - 1 else ends, steps)]
             r = i[0].index_select(
@@ -202,12 +212,31 @@ def run_graph_torch(model: Dict[str, Any],
         elif op == "DequantizeLinear":
             scale = _qdq_scale_t(i[1], i[0].ndim, a.get("axis"))
             r = i[0].to(torch.float32) * scale
+        elif op == "Cast":
+            import joshupscale_tpu.export.onnx_minimal as om
+
+            r = i[0].to(torch.float32)  # compute stays f32 either way
+            out_name = node["outputs"][0]
+            half[out_name] = a["to"] == om.FLOAT16
+            if half[out_name]:
+                r = r.to(torch.float16).to(torch.float32)
+            env[out_name] = r
+            continue
         else:
             raise NotImplementedError(op)
-        if r.dtype not in (torch.int8,) and store_half:
-            # Emulate f16 storage between nodes (compute stays f32).
-            r = r.to(torch.float16).to(torch.float32)
-        env[node["outputs"][0]] = r
+        out_name = node["outputs"][0]
+        if r.dtype in (torch.int8,):
+            half[out_name] = False
+        else:
+            in_half = [half.get(x, store_half) for x, v in
+                       zip(node["inputs"], i)
+                       if v is not None and v.is_floating_point()]
+            half[out_name] = store_half and (not in_half
+                                             or any(in_half))
+            if half[out_name]:
+                # Emulate f16 storage between nodes (compute stays f32).
+                r = r.to(torch.float16).to(torch.float32)
+        env[out_name] = r
 
     out = {}
     for o in model["outputs"]:

@@ -116,6 +116,7 @@ def _sweep(model, params, frames, record) -> None:
     index(params)
 
     original = nn_layers.conv2d
+    original_trans = nn_layers.conv2d_transpose_2x
 
     def recording_conv2d(p, x, *args, **kwargs):
         path = id_to_path.get(id(p.get("kernel")))
@@ -123,8 +124,20 @@ def _sweep(model, params, frames, record) -> None:
             record(path, x)
         return original(p, x, *args, **kwargs)
 
+    def recording_conv_trans(p, x, *args, **kwargs):
+        # The generator's deconv tail quantizes too (onnx_export's
+        # ConvTranspose QDQ branch, w_channel_axis=1): its input range
+        # must be calibrated through the same sweep or the exporter
+        # silently leaves the deconvs un-QDQ'd.
+        path = id_to_path.get(id(p.get("kernel")))
+        if path is not None:
+            record(path, x)
+        return original_trans(p, x, *args, **kwargs)
+
     nn_layers.conv2d = recording_conv2d
-    # Model modules import conv2d by name; patch their references too.
+    nn_layers.conv2d_transpose_2x = recording_conv_trans
+    # Model modules import the layer fns by name; patch their
+    # references too.
     import joshupscale_tpu.models.common as common_mod
     import joshupscale_tpu.models.fnet as fnet_mod
     import joshupscale_tpu.models.generator as gen_mod
@@ -133,6 +146,11 @@ def _sweep(model, params, frames, record) -> None:
     saved = [m.conv2d for m in patched]
     for m in patched:
         m.conv2d = recording_conv2d
+    trans_patched = [m for m in patched
+                     if hasattr(m, "conv2d_transpose_2x")]
+    trans_saved = [m.conv2d_transpose_2x for m in trans_patched]
+    for m in trans_patched:
+        m.conv2d_transpose_2x = recording_conv_trans
     # Disable inference BN-folding for the sweep: the fold builds NEW
     # kernel arrays (kernel * inv), which would hide every conv-with-BN
     # from the identity-based path map above.
@@ -145,8 +163,11 @@ def _sweep(model, params, frames, record) -> None:
     finally:
         model_common.FOLD_BN = fold_before
         nn_layers.conv2d = original
+        nn_layers.conv2d_transpose_2x = original_trans
         for m, fn in zip(patched, saved):
             m.conv2d = fn
+        for m, fn in zip(trans_patched, trans_saved):
+            m.conv2d_transpose_2x = fn
 
 
 def kl_threshold(hist: np.ndarray, num_quantized_bins: int = 128) -> int:

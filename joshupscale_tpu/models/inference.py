@@ -41,9 +41,16 @@ from joshupscale_tpu.ops.warp import dense_image_warp_s2d
 State = Dict[str, Any]
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class InferenceModel:
     """Functional recurrent VSR step.
+
+    ``eq=False``: identity hash/equality.  The engine's step cache
+    (runtime/engine.py _STEP_CACHE) is keyed by the model instance and
+    its jitted closures weakref exactly that instance -- by-value
+    equality would let two equal-but-distinct models (e.g. two
+    ``dataclasses.replace`` copies) share one cache entry whose
+    weakref dies with the FIRST model, crashing later retraces.
 
     Attributes
     ----------

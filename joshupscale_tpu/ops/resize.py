@@ -165,9 +165,8 @@ def _tf1_indices(out_size: int, in_size: int):
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """General-size TF1 bilinear resize (align_corners=F, half_pixel=F)."""
     n, h, w, c = x.shape
-    if out_h == h * (out_h // h) and out_h % h == 0 and out_w == w * (
-        out_w // w
-    ) and out_w % w == 0 and out_h // h == out_w // w:
+    if out_h % h == 0 and out_w % w == 0 and out_h // h == out_w // w:
+        # Integer same-factor upscale: the conv+d2s fast path.
         return upscale_bilinear(x, out_h // h)
     dtype = x.dtype
     ylo, yhi, yf = _tf1_indices(out_h, h)

@@ -379,10 +379,16 @@ class Engine:
                     run(state)
                 return (time.perf_counter() - t0) / reps
 
-            t_short = timed_clip(max(4, num_frames // 6))
+            short = max(4, num_frames // 6)
+            if num_frames <= short:
+                # Differencing needs two distinct clip lengths.
+                raise ValueError(
+                    f"scan_diff needs num_frames > {short} "
+                    f"(got {num_frames}); use method='per_dispatch' "
+                    f"for short runs")
+            t_short = timed_clip(short)
             t_long = timed_clip(num_frames)
-            per = (t_long - t_short) / (
-                num_frames - max(4, num_frames // 6))
+            per = (t_long - t_short) / (num_frames - short)
             return {
                 "mean": float(per),
                 "frame_ms": float(per * 1e3),

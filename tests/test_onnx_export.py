@@ -408,6 +408,102 @@ def test_variant_export_rejects_contradictory_options(built_model,
     assert "Pad" not in ops and "ReduceMean" not in ops
 
 
+def test_fp16_f32_island_preserves_subpixel_coords():
+    """Both executors must honor the Cast-fenced f32 island.
+
+    The mechanism under test is the 1080p fp16 warp bug: f16 cannot
+    represent a sub-pixel offset at HR coordinates >= 1024
+    (f16(1919.0 - 0.372) == 1919.0), so the exporter keeps the grid
+    chain f32 via Cast fences -- and an executor that squashes every
+    edge to the model float dtype would erase exactly that offset.
+    """
+    from joshupscale_tpu.export.onnx_interp import run_graph
+    from joshupscale_tpu.export.onnx_torch import run_graph_torch
+
+    def n(op, inputs, out, **attrs):
+        return {"op_type": op, "inputs": inputs, "outputs": [out],
+                "attrs": attrs}
+
+    model = {
+        "opset": 16,
+        "initializers": {
+            # f16 weight => model_float_dtype detects an fp16 graph
+            "w16": np.asarray([1.0], np.float16),
+            "base": np.asarray([1919.0], np.float32),
+            "base2": np.asarray([1918.0], np.float32),
+        },
+        "inputs": [{"name": "flow", "shape": [1]}],
+        "nodes": [
+            n("Cast", ["flow"], "flow32", to=om.FLOAT),
+            n("Sub", ["base", "flow32"], "q"),      # f32 island
+            n("Sub", ["q", "base2"], "frac"),       # still f32
+            n("Cast", ["frac"], "out", to=om.FLOAT16),
+            n("Mul", ["flow", "w16"], "out_f16"),   # plain f16 edge
+        ],
+        "outputs": [{"name": "q"}, {"name": "out"},
+                    {"name": "out_f16"}],
+    }
+    feeds = {"flow": np.asarray([0.372], np.float16)}
+    flow_f32 = float(np.float16(0.372))
+
+    r = run_graph(model, feeds)
+    # Squashed-to-f16 q would be 1919.0 and frac 1.0.
+    np.testing.assert_allclose(r["q"], 1919.0 - flow_f32, rtol=0,
+                               atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(r["out"], np.float32),
+        np.float16(1919.0 - flow_f32 - 1918.0), rtol=1e-3)
+    assert np.asarray(r["out_f16"]).dtype == np.float16
+
+    t = run_graph_torch(model, feeds)
+    np.testing.assert_allclose(np.asarray(t["out"], np.float32),
+                               np.asarray(r["out"], np.float32),
+                               rtol=1e-3)
+
+
+def test_fade_in_block_exports_scale(tmp_path):
+    """A mid-fade generator block must export its counter/period scale
+    (reference keras_layers.py FadeInLayer); silently dropping it made
+    the exported graph diverge from the model for every fade block."""
+    from joshupscale_tpu.export.onnx_interp import OnnxClipRunner
+    from joshupscale_tpu.models import create_models
+    from joshupscale_tpu.runtime.engine import Engine
+
+    config = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": FILTERS, "num_res_blocks": FLOW_BLOCKS},
+        "generator": {"name": "generator-resnet",
+                      "num_filters": FILTERS, "num_res_blocks": 1,
+                      "num_fade_in_res_blocks": 1, "fade_in_period": 8},
+        "inference": {"name": "inference",
+                      "generator": {"model": "generator"},
+                      "flow": {"model": "flow"},
+                      "skip_processing": False, "s2d_mode": False,
+                      "frame_height": H, "frame_width": W},
+    }
+    built = create_models(config, seed=3)["inference"]
+    # Mid-fade: counter 2 of period 8 => scale 0.25.
+    fade = built.params["generator"]["block_2"]["fade"]
+    fade["counter"] = jnp.asarray(2, fade["counter"].dtype)
+
+    path = str(tmp_path / "fade.onnx")
+    export_onnx(path, built.params, H, W)
+    m = om.decode_model(open(path, "rb").read())
+    scales = {k: v for k, v in m["initializers"].items()
+              if k.endswith("fade_scale")}
+    assert list(scales.values()) and float(
+        next(iter(scales.values()))) == 0.25
+
+    runner = OnnxClipRunner(m, H, W)
+    eng = Engine(built.obj, built.params)
+    rng = np.random.default_rng(31)
+    for t in range(3):
+        frame = rng.integers(0, 256, (H, W, 3), np.uint8)
+        d = np.abs(eng.process(frame).astype(int)
+                   - runner.process(frame).astype(int)).max()
+        assert d <= 1, f"frame {t}: max u8 diff {d}"
+
+
 def test_fp16_export_quality_and_structure(built_model, tmp_path):
     """fp16 deployment tier (reference onnx/quantize_fp16.py:62-75):
     every float initializer/value becomes f16 except Resize scales
@@ -425,9 +521,16 @@ def test_fp16_export_quality_and_structure(built_model, tmp_path):
     dtypes = {k: v.dtype for k, v in m16["initializers"].items()}
     assert dtypes["flow.conv_1.kernel"] == np.float16
     assert dtypes["up.scales"] == np.float32  # Resize scales stay f32
-    assert all(dt != np.float32 or k == "up.scales"
+    # Coordinate math stays f32 too: f16 cannot hold sub-pixel offsets
+    # at HR coordinates >= 1024, so the warp grid chain is Cast-fenced.
+    f32_ok = {"up.scales", "warp.base_grid", "warp.norm", "warp.shift"}
+    assert dtypes["warp.base_grid"] == np.float32
+    assert all(dt != np.float32 or k in f32_ok
                for k, dt in dtypes.items() if dt in
                (np.float32, np.float16) and "sl_" not in k), dtypes
+    cast_tos = [n["attrs"]["to"] for n in m16["nodes"]
+                if n["op_type"] == "Cast"]
+    assert om.FLOAT in cast_tos and om.FLOAT16 in cast_tos
 
     r32 = OnnxClipRunner(p32, H, W)
     r16 = OnnxClipRunner(p16, H, W)
@@ -460,6 +563,11 @@ def test_int8_qdq_export_quality_and_structure(built_model, tmp_path):
     cal = jnp.asarray(rng.integers(0, 256, (4, 1, H, W, 3), np.uint8))
     ranges = calibrate(built_model.obj, built_model.params, cal)
     assert "flow.conv_1" in ranges and len(ranges) > 8
+    # The deconv tail calibrates too (regression: the sweep once
+    # intercepted only conv2d, leaving the exporter's ConvTranspose
+    # QDQ branch unreachable through the documented pipeline).
+    assert "generator.conv_trans_1" in ranges
+    assert "generator.conv_trans_2" in ranges
 
     p32 = str(tmp_path / "m32.onnx")
     p8 = str(tmp_path / "m8.onnx")
@@ -477,6 +585,9 @@ def test_int8_qdq_export_quality_and_structure(built_model, tmp_path):
     # Per-channel weight scale: one per output channel.
     assert inits["flow.conv_1.w.scale"].shape == (FILTERS,)
     assert inits["flow.conv_1.act.scale"].size == 1
+    # ConvTranspose weight QDQ is per-channel along the O axis (axis 1
+    # of the IOHW ONNX weight).
+    assert inits["generator.conv_trans_1.w.scale"].shape == (32,)
 
     r32 = OnnxClipRunner(p32, H, W)
     r8 = OnnxClipRunner(p8, H, W)
