@@ -34,16 +34,23 @@ class Mutables:
     """
 
     def __init__(self, training: bool = False, prefix: str = "",
-                 updates: Dict[str, dict] = None):
+                 updates: Dict[str, dict] = None, fade_offset=0):
         self.training = training
         self.prefix = prefix
         self.updates: Dict[str, dict] = {} if updates is None else updates
+        # How many generator CALLS preceded this one within the current
+        # train step (reference FadeInLayer assign_add(1)s per call --
+        # 19x per GAN step -- so the fade scale must advance per call,
+        # not per step).  Recurrent trainers pass the scan iteration
+        # index (a tracer) here; see merge_scan_bn_updates.
+        self.fade_offset = fade_offset
 
     def scoped(self, prefix: str) -> "Mutables":
         """View over the same updates dict with a path prefix (so e.g.
         flow and generator 'bn_1' entries don't collide)."""
         return Mutables(
-            self.training, f"{self.prefix}{prefix}.", self.updates
+            self.training, f"{self.prefix}{prefix}.", self.updates,
+            self.fade_offset,
         )
 
     def bn(self, params, path: str, x):
@@ -54,12 +61,21 @@ class Mutables:
         return y
 
     def fade_in(self, params, path: str, x):
-        """Counter-ramped fade-in (reference keras_layers.py FadeInLayer)."""
-        counter = params["counter"]
+        """Counter-ramped fade-in (reference keras_layers.py FadeInLayer:
+        reads the counter, scales, assign_add(1)s -- PER CALL, so the
+        i-th generator call in a step sees counter+i and a step advances
+        the counter by the number of calls)."""
+        counter = params["counter"] + self.fade_offset
         period = params["period"]
-        scale = jnp.minimum(
+        # The schedule is state, not a trained quantity (the reference
+        # counter is a non-trainable int variable): stop_gradient keeps
+        # value_and_grad from pushing Adam/l2 updates into counter or
+        # period.  The counter leaf itself is float32 -- integer leaves
+        # in the param tree are rejected by jax.value_and_grad (same
+        # class as the round-4 _meta.filters bug).
+        scale = jax.lax.stop_gradient(jnp.minimum(
             counter.astype(jnp.float32) / jnp.maximum(period, 1.0), 1.0
-        )
+        ))
         y = x * scale.astype(x.dtype)
         if self.training:
             self.updates[self.prefix + path] = {"counter": counter + 1}
@@ -85,10 +101,14 @@ def merge_scan_bn_updates(mut: Mutables, prefix: str, scan_updates):
     one momentum update with the scan-average batch statistic -- the
     steady-state estimate.  Entries overwrite the outside call's (frame
     0 is one frame of hundreds at serving).  Fade-in counters ("counter"
-    leaves) keep the outside call's single per-step increment.
+    leaves) take the LAST scan iteration's value: scan calls run with
+    ``fade_offset = 1..T-1`` so the final entry is ``counter + T`` --
+    one increment per generator call, matching the reference
+    FadeInLayer's per-call assign_add (19x per GAN step).
     """
     for path, upd in scan_updates.items():
         if "counter" in upd:
+            mut.updates[prefix + path] = {"counter": upd["counter"][-1]}
             continue
         mut.updates[prefix + path] = jax.tree.map(
             lambda x: jnp.mean(x, axis=0), upd
@@ -107,8 +127,11 @@ def res_block_init(key, num_filters: int, fade_in_period=None,
         "bn_2": batch_norm_init(num_filters, dtype),
     }
     if fade_in_period is not None:
+        # counter is float32 (exact integers up to 2^24 steps): int
+        # leaves in the param tree break jax.value_and_grad in the
+        # train steps; h5/npz import casts to this template dtype.
         params["fade"] = {
-            "counter": jnp.zeros((), jnp.int64),
+            "counter": jnp.zeros((), jnp.float32),
             "period": jnp.asarray(float(fade_in_period), jnp.float32),
         }
     return params

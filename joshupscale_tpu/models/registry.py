@@ -63,6 +63,22 @@ def strip_meta(tree):
 # Factories
 
 
+def _sub_frozen(prefix: str, sub: Optional[BuiltModel]) -> tuple:
+    """A sub-model's freeze markers, re-rooted under ``prefix``.
+
+    Trainer factories compose these into their own ``frozen_paths`` so
+    ``freeze: true`` on a SUB-model entry (reference ``create_models``
+    drops frozen variables from ``trainable_variables``) reaches the
+    step builders' gradient masks -- otherwise sub-model freezing is
+    silently ignored.
+    """
+    if sub is None:
+        return ()
+    if not sub.trainable:
+        return (prefix,)
+    return tuple(f"{prefix}.{p}" for p in sub.frozen_paths)
+
+
 def _build_flow_resnet(key, *, num_inputs=4, num_filters=64,
                        num_res_blocks=10, activation="relu",
                        dtype=jnp.float32, zero_init_tail=False, **_):
@@ -172,7 +188,10 @@ def _build_inference(key, *, generator_model: BuiltModel,
     if flow_model is not None:
         params["flow"] = flow_model.params
     return BuiltModel(kind="inference", params=params, obj=model,
-                      apply=model.apply)
+                      apply=model.apply,
+                      frozen_paths=(_sub_frozen("flow", flow_model)
+                                    + _sub_frozen("generator",
+                                                  generator_model)))
 
 
 def _build_frvsr(key, *, flow_model: BuiltModel,
@@ -199,6 +218,8 @@ def _build_frvsr(key, *, flow_model: BuiltModel,
     }
     return BuiltModel(
         kind="frvsr", params=params, obj=trainer,
+        frozen_paths=(_sub_frozen("flow", flow_model)
+                      + _sub_frozen("generator", generator_model)),
         config={
             "learning_rate": learning_rate,
             "regularization": regularization,
@@ -212,9 +233,20 @@ def _build_frvsr_single(key, *, inference_model: BuiltModel,
     """Single-step FRVSR trainer (reference get_frvsr_single :832-876)."""
     from joshupscale_tpu.training.frvsr import FRVSRSingleTrainer
 
-    trainer = FRVSRSingleTrainer(model=inference_model.obj)
+    model_obj = inference_model.obj
+    if getattr(model_obj, "s2d_mode", False):
+        # The trainer feeds PIXEL-form recurrent state by hand; the
+        # registry's serving default (s2d_mode=True) would route the
+        # training=False (validation) path through the s2d warp, which
+        # expects (B, H, W, 48) state -- shape crash mid-run.  Train on
+        # a pixel-state twin; the inference entry itself keeps its
+        # serving configuration.
+        model_obj = dataclasses.replace(model_obj, s2d_mode=False)
+    trainer = FRVSRSingleTrainer(model=model_obj)
     return BuiltModel(
         kind="frvsr-single", params=inference_model.params, obj=trainer,
+        trainable=inference_model.trainable,
+        frozen_paths=inference_model.frozen_paths,
         config={
             "learning_rate": learning_rate,
             "regularization": regularization,
@@ -258,10 +290,18 @@ def _build_gan(key, *, flow_model: BuiltModel,
     }
     return BuiltModel(
         kind="gan", params=params, obj=trainer,
+        # GAN frozen_paths are relative to the GEN subtree (the CLI
+        # builds its gen_mask from params["gen"]); the discriminator's
+        # freeze markers ride in config for the separate discr_mask.
+        frozen_paths=(_sub_frozen("flow", flow_model)
+                      + _sub_frozen("generator", generator_model)),
         config={
             "learning_rate": learning_rate,
             "regularization": regularization,
             "inference": inference_model,
+            "discr_trainable": discriminator_model.trainable,
+            "discr_frozen_paths": tuple(
+                discriminator_model.frozen_paths),
         },
     )
 
@@ -348,7 +388,10 @@ def create_models(config: Dict[str, Any],
         model = MODELS[model_type](keys[name], **args)
         if freeze is not None:
             if isinstance(freeze, list):
-                model.frozen_paths = tuple(freeze)
+                # MERGE with factory-composed sub-model freezes --
+                # overwriting would un-freeze frozen sub-models.
+                model.frozen_paths = tuple(model.frozen_paths) + tuple(
+                    freeze)
             else:
                 model.trainable = not freeze
         if weights is not None:

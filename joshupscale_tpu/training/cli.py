@@ -155,12 +155,24 @@ def train(config: Dict[str, Any], seed: int = 0,
     if built.kind == "gan":
         gopt = make_optimizer(lr)
         dopt = make_optimizer(lr)
+        # Masks honor BOTH freeze forms: dotted frozen_paths (sub-model
+        # freeze composes into them via the registry) and whole-model
+        # trainable=False (``freeze: true`` on the trainer entry).
         gen_mask = freeze_mask(
-            built.params["gen"], tuple(built.frozen_paths)
-        ) if built.frozen_paths else None
+            built.params["gen"], tuple(built.frozen_paths),
+            trainable=built.trainable,
+        ) if (built.frozen_paths or not built.trainable) else None
+        discr_frozen = tuple(built.config.get("discr_frozen_paths", ()))
+        discr_trainable = (built.trainable
+                           and built.config.get("discr_trainable", True))
+        discr_mask = freeze_mask(
+            built.params["discr"], discr_frozen,
+            trainable=discr_trainable,
+        ) if (discr_frozen or not discr_trainable) else None
         step = build_gan_step(
             trainer, gopt, dopt, built.params["vgg"],
-            gen_mask=gen_mask, l2_reg=l2_reg, mesh=mesh,
+            gen_mask=gen_mask, discr_mask=discr_mask,
+            l2_reg=l2_reg, mesh=mesh,
             steps_per_execution=int(
                 train_cfg.get("steps_per_execution", 1)),
         )
@@ -169,22 +181,35 @@ def train(config: Dict[str, Any], seed: int = 0,
             gopt, dopt,
         )
 
-        def val_fn(st, batch, key):
+        # Jitted: the un-jitted recurrent forward dispatches hundreds
+        # of ops per val batch (~28 ms tunnel RTT each on the real
+        # chip); one compile per batch shape, identical numbers.
+        vgg_params = built.params["vgg"]
+
+        @jax.jit
+        def _val_gan(gen_params, discr_params, ema, inp, tgt, key):
             y = trainer.forward(
-                st.gen_params, st.discr_params, built.params["vgg"],
-                jnp.asarray(batch["input"]), jnp.asarray(batch["target"]),
+                gen_params, discr_params, vgg_params, inp, tgt,
                 key, training=False,
             )
-            terms = trainer.compute_losses(y, st.ema)
+            terms = trainer.compute_losses(y, ema)
             return {k: v for k, v in terms.items()
                     if k not in ("gen_loss", "discr_loss")}
+
+        def val_fn(st, batch, key):
+            return _val_gan(
+                st.gen_params, st.discr_params, st.ema,
+                jnp.asarray(batch["input"]),
+                jnp.asarray(batch["target"]), key,
+            )
 
         monitor = train_cfg.get("monitor", "content_loss")
     else:
         opt = make_optimizer(lr)
         mask = freeze_mask(
-            built.params, tuple(built.frozen_paths)
-        ) if built.frozen_paths else None
+            built.params, tuple(built.frozen_paths),
+            trainable=built.trainable,
+        ) if (built.frozen_paths or not built.trainable) else None
         step = build_frvsr_step(
             trainer, opt, mask=mask, l2_reg=l2_reg, mesh=mesh,
             steps_per_execution=int(
@@ -192,16 +217,18 @@ def train(config: Dict[str, Any], seed: int = 0,
         )
         state = init_train_state(built.params, opt)
 
-        def val_fn(st, batch, key):
+        @jax.jit
+        def _val_frvsr(params, batch, key):
             # Inference-mode BN for validation (reference Keras
             # test_step(training=False)).
-            _, aux = trainer.loss(
-                st.params,
-                {k: jnp.asarray(v) for k, v in batch.items()},
-                key,
-                training=False,
-            )
+            _, aux = trainer.loss(params, batch, key, training=False)
             return aux["metrics"]
+
+        def val_fn(st, batch, key):
+            return _val_frvsr(
+                st.params,
+                {k: jnp.asarray(v) for k, v in batch.items()}, key,
+            )
 
         monitor = train_cfg.get("monitor", "loss")
 

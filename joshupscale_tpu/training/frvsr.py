@@ -268,7 +268,7 @@ class FRVSRTrainer:
         )
 
         def step(last_output, xs):
-            frame, cur_flow, bd = xs
+            frame, cur_flow, bd, call_idx = xs
             if bd is not None:
                 last_output = last_output + bd
             warped = self._scan_warp(last_output, cur_flow)
@@ -276,7 +276,11 @@ class FRVSRTrainer:
             # exported through ys and averaged post-scan (see
             # merge_scan_bn_updates -- the first call's noise-warp
             # statistics must not be the only calibration source).
-            step_mut = Mutables(training)
+            # fade_offset: the i-th generator call of the step sees
+            # fade counter+i (reference FadeInLayer increments per
+            # CALL, T times per step, not once).
+            step_mut = Mutables(
+                training, fade_offset=call_idx if training else 0)
             out = self.generator_apply(
                 params["generator"], frame, warped, mut=step_mut
             )
@@ -291,6 +295,7 @@ class FRVSRTrainer:
             jnp.swapaxes(bright_diff, 0, 1)
             if bright_diff is not None
             else None,
+            jnp.arange(1, t),
         )
         _, (outs, warps, scan_updates) = jax.lax.scan(step, first_out, xs)
         if training:

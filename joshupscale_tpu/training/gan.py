@@ -237,13 +237,16 @@ class GANTrainer:
         )
 
         def step(last_output, xs):
-            frame, cur_flow, bd = xs
+            frame, cur_flow, bd, call_idx = xs
             if bd is not None:
                 last_output = last_output + bd
             warped = self._scan_warp(last_output, cur_flow)
             # Moving-stat updates exported through ys; averaged
-            # post-scan (merge_scan_bn_updates).
-            step_mut = Mutables(training)
+            # post-scan (merge_scan_bn_updates).  fade_offset: the
+            # i-th of the 19 generator calls sees fade counter+i
+            # (reference FadeInLayer increments per CALL).
+            step_mut = Mutables(
+                training, fade_offset=call_idx if training else 0)
             out = self.generator_apply(
                 gen_params["generator"], frame, warped, mut=step_mut
             )
@@ -257,6 +260,7 @@ class GANTrainer:
             jnp.swapaxes(bright_diff, 0, 1)
             if bright_diff is not None
             else None,
+            jnp.arange(1, td),
         )
         _, (outs, warps, scan_updates) = jax.lax.scan(step, first_out, xs)
         if training:

@@ -115,17 +115,31 @@ def vgg_cosine_loss(
     return total
 
 
-def l2_regularization(params, scale: float) -> jnp.ndarray:
-    """Keras-style l2 penalty: scale * sum of squares over all leaves.
+_L2_EXCLUDED_KEYS = frozenset(
+    # Non-trainable state: reference add_regularization (models.py:
+    # 165-190) regularizes model.trainable_variables only -- BN moving
+    # statistics and the fade-in schedule are non-trainable variables
+    # there (with fade on, period**2 alone would add a huge constant).
+    ("moving_mean", "moving_variance", "counter", "period")
+)
 
-    Parity with reference add_regularization (models.py:165-190) applied
-    globally.
+
+def l2_regularization(params, scale: float) -> jnp.ndarray:
+    """Keras-style l2 penalty: scale * sum of squares over the
+    TRAINABLE leaves (kernels/biases/gamma/beta), parity with reference
+    add_regularization (models.py:165-190) over trainable_variables.
     """
     import jax
 
-    leaves = [x for x in jax.tree_util.tree_leaves(params)
-              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
-                                                        jnp.floating)]
+    leaves = [
+        x
+        for path, x in jax.tree_util.tree_leaves_with_path(params)
+        if hasattr(x, "dtype")
+        and jnp.issubdtype(x.dtype, jnp.floating)
+        and not any(
+            getattr(k, "key", None) in _L2_EXCLUDED_KEYS for k in path
+        )
+    ]
     return scale * sum(jnp.sum(jnp.square(_f32(x))) for x in leaves)
 
 

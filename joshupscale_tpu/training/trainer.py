@@ -386,7 +386,16 @@ def build_gan_step(
                  step_no),
                 batches,
             )
-            metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+            # Per-step losses average over the K inner steps (like
+            # build_frvsr_step); only the CUMULATIVE counters/EMA
+            # snapshots take the last value -- m[-1] on the losses
+            # would make epoch metrics a one-in-K subsample.
+            cumulative = ("discr_steps", "t_balance1_avg",
+                          "t_balance2_avg")
+            metrics = {
+                name: (m[-1] if name in cumulative else m.mean())
+                for name, m in metrics.items()
+            }
             return carry + (metrics,)
 
     jit_kwargs: Dict[str, Any] = {"donate_argnums": (0, 1, 2, 3, 4, 5)}
@@ -779,16 +788,21 @@ def fit(
                 with open(os.path.join(checkpoint_dir, "history.json"),
                           "w") as f:
                     json.dump(history, f)
-                current = entry.get(f"val_{monitor}",
-                                    entry.get(f"train_{monitor}"))
-                if current is not None and current < best:
-                    best = current
-                    stale = 0
+            # Best-tracking runs with or without a checkpoint dir:
+            # early stopping must not be coupled to checkpoint writes.
+            current = entry.get(f"val_{monitor}",
+                                entry.get(f"train_{monitor}"))
+            if current is not None and current < best:
+                best = current
+                stale = 0
+                if checkpoint_dir is not None:
                     save_checkpoint(
-                        os.path.join(checkpoint_dir, "best.npz"), tree
+                        os.path.join(checkpoint_dir, "best.npz"),
+                        state.tree() if hasattr(state, "tree")
+                        else state,
                     )
-                else:
-                    stale += 1
+            else:
+                stale += 1
             if epoch_callback is not None:
                 epoch_callback(epoch, state, entry)
             if (early_stopping_patience is not None

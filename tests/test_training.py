@@ -804,3 +804,149 @@ def test_play_callback_resizes_model_to_clip(rng, tmp_path):
     import os
     assert os.path.exists(os.path.join(str(tmp_path),
                                        "play_e0000_0.gif"))
+
+
+def test_fade_counter_advances_per_generator_call(rng):
+    """The fade-in counter advances once per generator CALL within a
+    train step -- T for FRVSR's T-frame unroll, 19 for the GAN's
+    ping-pong unroll -- matching the reference FadeInLayer's per-call
+    assign_add(1) (reference keras_layers.py FadeInLayer), NOT once per
+    step: a fade_in_period tuned on the reference must produce the same
+    fade schedule here."""
+    from joshupscale_tpu.models.common import Mutables
+
+    # Unit: the i-th call of a step sees counter+i and records +1 more.
+    fade = {"counter": jnp.asarray(0, jnp.int64),
+            "period": jnp.asarray(10.0, jnp.float32)}
+    m = Mutables(training=True, fade_offset=3)
+    y = m.fade_in(fade, "f", jnp.ones((2,)))
+    np.testing.assert_allclose(np.asarray(y), 0.3)
+    assert int(m.updates["f"]["counter"]) == 4
+
+    cfg = _config(with_gan=True)
+    cfg["generator"]["num_fade_in_res_blocks"] = 1
+    cfg["generator"]["fade_in_period"] = 1000
+    models = create_models(cfg, seed=0)
+
+    # FRVSR: 10 frames => 10 generator calls per step.
+    built = models["frvsr"]
+    opt = make_optimizer(1e-4)
+    step = build_frvsr_step(built.obj, opt)
+    params = jax.tree_util.tree_map(jnp.array, built.params)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    batch = _batch(rng, b=1)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    fade_path = state.params["generator"]["block_2"]["fade"]
+    assert int(fade_path["counter"]) == 10
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    assert int(
+        state.params["generator"]["block_2"]["fade"]["counter"]) == 20
+
+    # GAN: 19-frame ping-pong => 19 calls per step.
+    gbuilt = models["gan"]
+    gopt = make_optimizer(1e-4)
+    dopt = make_optimizer(1e-4)
+    gstep = build_gan_step(gbuilt.obj, gopt, dopt, gbuilt.params["vgg"])
+    gstate = _gan_state(gbuilt.obj, gbuilt.params["gen"],
+                        gbuilt.params["discr"], gopt, dopt)
+    gstate, _ = gstep(gstate, batch, jax.random.PRNGKey(2))
+    assert int(
+        gstate.gen_params["generator"]["block_2"]["fade"]["counter"]) == 19
+
+
+def test_sub_model_freeze_composes_into_frozen_paths():
+    """``freeze: true`` on a SUB-model entry must reach the trainer's
+    gradient mask (reference create_models drops frozen variables from
+    trainable_variables) -- previously the factories never consulted
+    sub-model trainable/frozen_paths, so frozen networks trained anyway.
+    """
+    cfg = _config()
+    cfg["flow"]["freeze"] = True
+    models = create_models(cfg, seed=0)
+    assert "flow" in models["frvsr"].frozen_paths
+
+    # List-form freeze on a sub-model re-roots under the sub-model name,
+    # and an entry-level list MERGES with (not overwrites) it.
+    cfg = _config()
+    cfg["generator"]["freeze"] = ["conv_1"]
+    cfg["frvsr"]["freeze"] = ["flow.conv_1"]
+    models = create_models(cfg, seed=0)
+    fp = set(models["frvsr"].frozen_paths)
+    assert {"generator.conv_1", "flow.conv_1"} <= fp
+
+    # The mask built from the composed paths actually zeroes the
+    # frozen subtree.
+    mask = freeze_mask(models["frvsr"].params,
+                       tuple(models["frvsr"].frozen_paths))
+    assert mask["generator"]["conv_1"]["kernel"] == 0.0
+    assert mask["generator"]["block_1"]["conv_1"]["kernel"] == 1.0
+
+
+def test_freeze_mask_trainable_false_zeroes_everything():
+    """Whole-model ``freeze: true`` (BuiltModel.trainable=False) makes
+    every leaf multiplier 0."""
+    params = {"a": {"kernel": jnp.ones(2)}, "b": jnp.ones(3)}
+    mask = freeze_mask(params, (), trainable=False)
+    assert mask["a"]["kernel"] == 0.0 and mask["b"] == 0.0
+
+
+def test_fit_early_stopping_without_checkpoint_dir():
+    """Early stopping must work with checkpoint_dir=None -- best/stale
+    tracking was previously coupled to checkpoint writing, making the
+    patience check dead code for library callers without checkpoints."""
+    calls = {"n": 0}
+
+    def worsening_step(state, batch, rng):
+        calls["n"] += 1
+        return state, {"loss": jnp.asarray(float(calls["n"]))}
+
+    def data():
+        while True:
+            yield {"input": np.zeros((1,), np.float32)}
+
+    state = TrainState(None, None, jnp.zeros((), jnp.int32))
+    _, history = fit(
+        worsening_step, state, data(), epochs=20, steps_per_epoch=1,
+        rng=jax.random.PRNGKey(0), checkpoint_dir=None,
+        early_stopping_patience=2, log_fn=lambda _m: None,
+    )
+    # Loss worsens every epoch: epoch 0 sets best, then patience(2)+1
+    # stale epochs -> stop at epoch 3, far short of 20.
+    assert len(history) == 4
+
+
+def test_frvsr_single_validates_with_default_s2d_inference(rng):
+    """frvsr-single built from a DEFAULT inference entry (registry
+    s2d_mode=True) must still run training=False validation: the
+    trainer feeds pixel-form recurrent state, so the registry pins a
+    pixel-state twin for training -- previously the val path routed
+    through the s2d warp and shape-crashed mid-run."""
+    config = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "inference": {"name": "inference", "flow": {"model": "flow"},
+                      "generator": {"model": "generator"},
+                      "skip_processing": True,
+                      "frame_height": 8, "frame_width": 8},
+        "single": {"name": "frvsr-single",
+                   "inference": {"model": "inference"}},
+    }
+    models = create_models(config, seed=0)
+    built = models["single"]
+    # The inference entry keeps its serving configuration...
+    assert models["inference"].obj.s2d_mode is True
+    # ...but the trainer's twin is pixel-state.
+    assert built.obj.model.s2d_mode is False
+    batch = {
+        "input": jnp.asarray(
+            rng.random((2, 4, 8, 8, 3), np.float32) - 0.5),
+        "target": jnp.asarray(
+            rng.random((2, 32, 32, 3), np.float32) - 0.5),
+        "last": jnp.asarray(
+            rng.random((2, 32, 32, 3), np.float32) - 0.5),
+    }
+    _, aux = built.obj.loss(built.params, batch, jax.random.PRNGKey(0),
+                            training=False)
+    assert np.isfinite(float(aux["metrics"]["loss"]))
