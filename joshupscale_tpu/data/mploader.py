@@ -33,11 +33,16 @@ import dataclasses
 import multiprocessing as mp
 import os
 import queue as queuelib
+import threading
 import traceback
 from multiprocessing import shared_memory
 from typing import Any, Callable, Dict, Iterable, Iterator, Optional
 
 import numpy as np
+
+# Serializes os.environ mutation around Process.start() (see
+# _CleanWorkerEnv); exported for other env-sensitive spawners.
+_ENV_LOCK = threading.Lock()
 
 _DONE = "done"
 _DATA = "data"
@@ -100,10 +105,14 @@ def _unpack(name: str, meta) -> Dict[str, np.ndarray]:
     try:
         out = {}
         for k, shape, dtype, offset in meta:
-            n = int(np.prod(shape, dtype=np.int64)) * np.dtype(dtype).itemsize
+            count = int(np.prod(shape, dtype=np.int64))
+            n = count * np.dtype(dtype).itemsize
+            if offset + n > shm.buf.nbytes:
+                raise ValueError(
+                    f"shm segment {name!r} too small for {k}: need "
+                    f"{offset + n} bytes, have {shm.buf.nbytes}")
             arr = np.frombuffer(
-                shm.buf, dtype=dtype, count=int(np.prod(shape, dtype=np.int64)),
-                offset=offset,
+                shm.buf, dtype=dtype, count=count, offset=offset,
             ).reshape(shape)
             out[k] = np.array(arr)  # own the memory before unlink
             del arr
@@ -151,11 +160,19 @@ class _CleanWorkerEnv:
     sitecustomize hook keys off ``PALLAS_AXON_POOL_IPS`` and would dial
     the TPU tunnel from every data worker.  The parent env is restored
     immediately after the processes start.
+
+    ``multiprocessing.Process`` has no per-child env, so mutating the
+    process-global environ around start() is the only lever; a module
+    lock serializes concurrent spawns, and any OTHER thread that
+    launches a TPU-needing subprocess during the brief start() window
+    should hold this lock too (``_ENV_LOCK``) or pass an explicit
+    ``env=`` to its subprocess instead of inheriting.
     """
 
     _STRIP = ("PALLAS_AXON_POOL_IPS",)
 
     def __enter__(self):
+        _ENV_LOCK.acquire()
         self._saved = {}
         for k in self._STRIP:
             if k in os.environ:
@@ -165,11 +182,14 @@ class _CleanWorkerEnv:
         return self
 
     def __exit__(self, *exc):
-        os.environ.update(self._saved)
-        if self._jax is None:
-            os.environ.pop("JAX_PLATFORMS", None)
-        else:
-            os.environ["JAX_PLATFORMS"] = self._jax
+        try:
+            os.environ.update(self._saved)
+            if self._jax is None:
+                os.environ.pop("JAX_PLATFORMS", None)
+            else:
+                os.environ["JAX_PLATFORMS"] = self._jax
+        finally:
+            _ENV_LOCK.release()
         return False
 
 
@@ -256,13 +276,21 @@ class MultiprocessLoader:
 
             def drain():
                 for q in queues:
-                    try:
-                        while True:
+                    while True:
+                        try:
                             kind, a, b = q.get_nowait()
-                            if kind == _DATA:
-                                _unpack(a, b)  # copy-out + unlink
-                    except (queuelib.Empty, OSError):
-                        pass
+                        except (queuelib.Empty, OSError):
+                            break  # queue empty or unreadable
+                        if kind != _DATA:
+                            continue
+                        try:
+                            _unpack(a, b)  # copy-out + unlink
+                        except OSError:
+                            # One segment vanished (e.g. a terminate()d
+                            # worker mid-put); the REST of this queue's
+                            # segments still need unlinking -- aborting
+                            # here would leak them all in /dev/shm.
+                            continue
 
             drain()  # unblock workers stuck on a full queue
             for p in procs:

@@ -910,6 +910,16 @@ def create_dataset(config: List[Dict[str, Any]],
     if seed is not None:
         seq = (seed if isinstance(seed, np.random.SeedSequence)
                else np.random.SeedSequence(seed))
+    if shard is not None and shard[0] > 1 and seq is None:
+        # Unseeded workers would each draw their own source shuffle, so
+        # the strided shards come from DIFFERENT permutations: some
+        # groups repeat, others vanish -- silently biased epochs (see
+        # the sharded seeding contract above).  MultiprocessLoader
+        # always supplies a root seed; direct callers must too.
+        raise ValueError(
+            "shard=(n, i) with n > 1 requires a seed: unseeded shards "
+            "draw independent source orders and do not partition the "
+            "dataset")
     children = (seq.spawn(len(config)) if seq is not None
                 else [None] * len(config))
     if shard is not None and seq is not None:
@@ -964,7 +974,8 @@ def create_train_dataset(config: List[Dict[str, Any]], batch_size: int,
         )
     return create_dataset(config + [
         {"name": "BatchOp", "batch_size": batch_size},
-        {"name": "PrefetchOp", "buffer_size": 4},
+        # Same knob as the multiprocess path's queue depth.
+        {"name": "PrefetchOp", "buffer_size": max(int(prefetch), 1)},
     ], seed=seed)
 
 

@@ -215,11 +215,23 @@ def run_graph_torch(model: Dict[str, Any],
         elif op == "Cast":
             import joshupscale_tpu.export.onnx_minimal as om
 
-            r = i[0].to(torch.float32)  # compute stays f32 either way
             out_name = node["outputs"][0]
-            half[out_name] = a["to"] == om.FLOAT16
-            if half[out_name]:
-                r = r.to(torch.float16).to(torch.float32)
+            if a["to"] in (om.FLOAT, om.FLOAT16):
+                # Float casts: compute stays f32; f16 targets round
+                # through half (the interpreter's f32-island rule).
+                r = i[0].to(torch.float32)
+                half[out_name] = a["to"] == om.FLOAT16
+                if half[out_name]:
+                    r = r.to(torch.float16).to(torch.float32)
+            else:
+                # Integer targets truncate exactly like the numpy
+                # interpreter's _CAST_DT astype -- keeping them f32
+                # here would silently diverge the two oracles.
+                to_torch = {om.UINT8: torch.uint8,
+                            om.INT32: torch.int32,
+                            om.INT64: torch.int64}
+                r = i[0].to(to_torch[a["to"]])
+                half[out_name] = False
             env[out_name] = r
             continue
         else:

@@ -76,23 +76,26 @@ def display_data(dataset: Iterable[Dict[str, Any]], num_img: int,
     if not elems:
         raise ValueError("dataset yielded no elements")
     seq_len = elems[0]["input"].shape[0]
-    fig = plt.figure(figsize=(2 * seq_len, 4 * len(elems)))
+    # The window form needs TWO cells in its second row (last | target);
+    # at seq_len == 1 a seq_len-wide grid would draw "last" over the
+    # input cell.
+    cols = max(seq_len, 2) if "last" in elems[0] else seq_len
+    fig = plt.figure(figsize=(2 * cols, 4 * len(elems)))
     rows = 2 * len(elems)
     for ind, elem in enumerate(elems):
+        base = ind * 2 * cols
         for i in range(seq_len):
-            ax = fig.add_subplot(rows, seq_len, ind * 2 * seq_len + 1 + i)
+            ax = fig.add_subplot(rows, cols, base + 1 + i)
             ax.axis("off")
             ax.imshow(to_display(elem["input"][i], bgr))
         if "last" in elem:
-            for col, key in ((seq_len - 1, "last"), (seq_len, "target")):
-                ax = fig.add_subplot(rows, seq_len,
-                                     ind * 2 * seq_len + seq_len + col)
+            for col, key in ((cols - 1, "last"), (cols, "target")):
+                ax = fig.add_subplot(rows, cols, base + cols + col)
                 ax.axis("off")
                 ax.imshow(to_display(elem[key], bgr))
         else:
             for i in range(seq_len):
-                ax = fig.add_subplot(
-                    rows, seq_len, (ind * 2 + 1) * seq_len + 1 + i)
+                ax = fig.add_subplot(rows, cols, base + cols + 1 + i)
                 ax.axis("off")
                 ax.imshow(to_display(elem["target"][i], bgr))
     if save_path is not None:

@@ -183,3 +183,41 @@ def test_display_data_helpers(tmp_path):
         rng.integers(0, 256, (32, 32, 3), np.uint8),
         save_path=str(out4))
     assert out4.stat().st_size > 0
+
+
+def test_display_data_single_window_no_cell_collision(tmp_path,
+                                                      monkeypatch):
+    """A 1-frame window element ('input' (1,H,W,3) + last/target) must
+    render input, last AND target in distinct grid cells: the seq_len-
+    wide grid used to resolve 'last' to the input frame's own subplot,
+    silently replacing it."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from joshupscale_tpu.utils.display import display_data
+
+    captured = []
+    real_figure = plt.figure
+
+    def capture_figure(*a, **kw):
+        fig = real_figure(*a, **kw)
+        captured.append(fig)
+        return fig
+
+    monkeypatch.setattr(plt, "figure", capture_figure)
+    rng = np.random.default_rng(5)
+    elems = [{"input": rng.uniform(-0.5, 0.5, (1, 4, 4, 3)),
+              "last": rng.uniform(-0.5, 0.5, (16, 16, 3)),
+              "target": rng.uniform(-0.5, 0.5, (16, 16, 3))}]
+    out = tmp_path / "win1.png"
+    display_data(iter(elems), num_img=1, save_path=str(out))
+    assert out.stat().st_size > 0
+    (fig,) = captured
+    # input + last + target = 3 distinct axes (a collision would reuse
+    # the input cell and leave only 2).
+    assert len(fig.axes) == 3
+    boxes = {tuple(np.round(ax.get_position().bounds, 6))
+             for ax in fig.axes}
+    assert len(boxes) == 3

@@ -208,3 +208,54 @@ def test_create_train_dataset_mp_path(image_tree):
     again = list(ds)
     assert [float(b["input"].sum()) for b in batches] == \
         [float(b["input"].sum()) for b in again]
+
+
+def test_unpack_bounds_check():
+    """_unpack validates offsets against the segment size instead of
+    letting np.frombuffer raise an opaque buffer error (or silently
+    reading short)."""
+    from joshupscale_tpu.data.mploader import _pack, _unpack
+
+    batch = {"a": np.arange(12, dtype=np.float32).reshape(3, 4)}
+    name, meta = _pack(batch)
+    k, shape, dtype, offset = meta[0]
+    bad = [(k, (1000, 1000), dtype, offset)]
+    with pytest.raises(ValueError, match="too small"):
+        _unpack(name, bad)  # finally-clause unlinks the segment
+
+
+def test_unseeded_shard_rejected(image_tree):
+    """shard=(n>1, i) without a seed must raise: each worker would draw
+    its own source order, so the strided shards would not partition the
+    dataset (silently biased epochs)."""
+    from joshupscale_tpu.data.pipeline import create_dataset
+
+    config = [
+        {"name": "LocalDatasetOp",
+         "lr_path": str(image_tree / "lr" / "*.png"),
+         "hr_path": str(image_tree / "hr" / "*.png")},
+    ]
+    with pytest.raises(ValueError, match="requires a seed"):
+        create_dataset(config, shard=(2, 0))
+    # Trivial full shard stays allowed unseeded.
+    next(iter(create_dataset(config, shard=(1, 0))))
+
+
+def test_create_train_dataset_prefetch_honored(image_tree, monkeypatch):
+    """The prefetch parameter must reach the in-process PrefetchOp, not
+    just the multiprocess queue depth."""
+    from joshupscale_tpu.data import pipeline as pl
+
+    seen = {}
+    real = pl.DATASET_OPS["PrefetchOp"]
+
+    def recording(**kw):
+        seen.update(kw)
+        return real(**kw)
+
+    monkeypatch.setitem(pl.DATASET_OPS, "PrefetchOp", recording)
+    ds = pl.create_train_dataset(
+        _config(image_tree), batch_size=2, seed=0,
+        num_workers=0, prefetch=7)
+    next(iter(ds))
+    assert seen.get("buffer_size") == 7

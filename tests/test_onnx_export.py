@@ -603,3 +603,37 @@ def test_int8_qdq_export_quality_and_structure(built_model, tmp_path):
     with pytest.raises(ValueError):
         export_onnx(str(tmp_path / "x.onnx"), built_model.params, H, W,
                     fp16=True, int8_ranges=ranges)
+
+
+def test_cast_integer_targets_agree_across_executors():
+    """Cast to integer dtypes must truncate in BOTH executors: the
+    torch oracle used to keep every Cast result f32, silently diverging
+    from the numpy interpreter on any int-producing graph."""
+    from joshupscale_tpu.export.onnx_interp import run_graph
+    from joshupscale_tpu.export.onnx_torch import run_graph_torch
+
+    def n(op, inputs, out, **attrs):
+        return {"op_type": op, "inputs": inputs, "outputs": [out],
+                "attrs": attrs}
+
+    model = {
+        "opset": 16,
+        "initializers": {},
+        "inputs": [{"name": "x", "shape": [4]}],
+        "nodes": [
+            n("Cast", ["x"], "xi", to=om.INT64),
+            n("Cast", ["xi"], "xf", to=om.FLOAT),
+            n("Cast", ["x"], "xu", to=om.UINT8),
+        ],
+        "outputs": [{"name": "xi"}, {"name": "xf"}, {"name": "xu"}],
+    }
+    feeds = {"x": np.asarray([0.9, 1.1, 2.999, 7.0], np.float32)}
+    r = run_graph(model, feeds)
+    t = run_graph_torch(model, feeds)
+    for key, want_dtype in (("xi", np.int64), ("xu", np.uint8)):
+        np.testing.assert_array_equal(np.asarray(r[key]),
+                                      np.asarray(t[key]))
+        assert np.asarray(t[key]).dtype == want_dtype, key
+    np.testing.assert_array_equal(np.asarray(r["xf"]),
+                                  np.asarray(t["xf"]))
+    np.testing.assert_array_equal(np.asarray(t["xi"]), [0, 1, 2, 7])
