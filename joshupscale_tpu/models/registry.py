@@ -165,6 +165,15 @@ def _build_inference(key, *, generator_model: BuiltModel,
         frame_moving_avg = FrameMovingAvgConfig(**frame_moving_avg)
     if flow_model is None and not remove_flow:
         raise ValueError("inference needs a flow model unless remove_flow")
+    if flow_model is not None and flow_model.config.get(
+            "num_inputs", 4) < 2:
+        # num_inputs counts the current frame PLUS the last-frame shift
+        # register; 1 leaves the register empty and the recurrence
+        # (apply_flow_stage's state threading) has no motion reference
+        # -- fail at build time instead of an IndexError at trace time.
+        raise ValueError(
+            "flow num_inputs must be >= 2 (current frame + at least "
+            "one last frame)")
     model = InferenceModel(
         flow_apply=flow_model.apply if flow_model else None,
         generator_apply=generator_model.apply,

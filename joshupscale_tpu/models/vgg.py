@@ -70,7 +70,7 @@ def vgg19_apply(params, x: jnp.ndarray,
         for i in range(1, n_convs + 1):
             name = f"block{block}_conv{i}"
             out = jax.nn.relu(conv2d(params[name], out))
-            if name in outputs or name in out_layers:
+            if name in out_layers:
                 outputs[name] = out
         if block < 5:
             out = jax.lax.reduce_window(

@@ -149,6 +149,10 @@ class Engine:
             getattr(model, "deferred_display", False)
             and getattr(model, "s2d_mode", False)
             and not model.skip_processing
+            # remove_flow apply() is non-temporal and never emits
+            # output_s2d -- running the d2s+u8 display program on its
+            # already-u8 HR output would crash (3 // 16 channels).
+            and not getattr(model, "remove_flow", False)
         )
 
         self.state = jax.device_put(

@@ -8,9 +8,16 @@ inside the runtime, so frames must be served in order; the stream
 - backtracks up to ``max_backtrack`` frames by re-reading earlier source
   frames,
 - on larger backward seeks resets the stream and re-warms the recurrent
-  state with ``max_backtrack`` lead-in frames,
+  state with ``max_backtrack`` lead-in frames (the stream also opens
+  with such a warm-up: the reference constructs with
+  ``m_NextFrame = -MAX_BACKTRACK_SIZE``),
+- MIRRORS negative lead-in indices (``child->GetFrame(n >= 0 ? n : -n)``,
+  main.cc:110) so pre-stream warm-up frames carry real motion,
 - keeps an LRU cache of the last ``max_backtrack`` outputs so small
-  backward seeks are free.
+  backward seeks are free -- but does NOT cache the ``max_backtrack``
+  outputs produced right after a reset (``m_DontCache``, main.cc:150-157):
+  they were computed from partially-warmed state, and serving them later
+  would return visibly degraded frames.
 """
 
 from __future__ import annotations
@@ -31,8 +38,10 @@ class VideoStream:
     Parameters
     ----------
     engine : the compiled recurrent engine (batch_size 1).
-    source : callable(frame_index) -> (H, W, 3) uint8; indices < 0 must
-        return a valid warm-up frame (the reference clamps to frame 0).
+    source : callable(frame_index) -> (H, W, 3) uint8.  Always called
+        with a non-negative index: warm-up lead-ins before frame 0 are
+        mirrored (index ``-n``), clamped to ``num_frames - 1`` when the
+        stream length is known.
     num_frames : optional stream length for validation.
     """
 
@@ -47,17 +56,22 @@ class VideoStream:
         self.source = source
         self.num_frames = num_frames
         self.max_backtrack = max_backtrack
-        self._next_frame = 0
+        # The stream OPENS in a warm-up window, like the reference's
+        # m_NextFrame = -MAX_BACKTRACK_SIZE construction: frame 0 is
+        # served with real (mirrored) motion lead-in.
+        self._next_frame = -max_backtrack
+        self._dont_cache = max_backtrack
         self._cache: "collections.OrderedDict[int, np.ndarray]" = (
             collections.OrderedDict()
         )
 
     def reset(self, start_frame: int = 0) -> None:
         """Restart the stream; state re-warms from ``max_backtrack``
-        lead-in frames before ``start_frame``."""
+        lead-in frames before ``start_frame`` (their outputs uncached)."""
         self.engine.reset()
         self._cache.clear()
         self._next_frame = start_frame - self.max_backtrack
+        self._dont_cache = self.max_backtrack
 
     def get_frame(self, n: int) -> np.ndarray:
         """Return upscaled frame ``n``, enforcing sequential recurrence."""
@@ -77,10 +91,16 @@ class VideoStream:
         return self._process(n)
 
     def _process(self, n: int) -> np.ndarray:
-        src = self.source(max(n, 0))
-        out = self.engine.process(src)
+        idx = -n if n < 0 else n  # mirrored warm-up (reference :110)
+        if self.num_frames is not None:
+            idx = min(idx, self.num_frames - 1)
+        out = self.engine.process(self.source(idx))
         self._next_frame = n + 1
-        if n >= 0:
+        if self._dont_cache > 0:
+            # Warm-up output: partially-warmed state, never cached
+            # (reference m_DontCache, main.cc:150-157).
+            self._dont_cache -= 1
+        else:
             self._cache[n] = out
             while len(self._cache) > self.max_backtrack:
                 self._cache.popitem(last=False)

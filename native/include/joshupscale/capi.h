@@ -56,7 +56,7 @@ int joshupscale_reset(JoshUpscaleRuntime *runtime);
 // serving with bounded backtrack, stream reset + warm-up replay on
 // seeks, LRU output cache.  The source callback must fill `buffer`
 // (contiguous BGR24, input_width*input_height*3 bytes) with frame
-// max(index, 0).
+// `index` (always >= 0: pre-stream warm-up indices arrive mirrored).
 
 typedef struct JoshUpscaleStream JoshUpscaleStream;
 typedef void (*JoshUpscaleFrameSource)(void *user, int index,

@@ -134,11 +134,11 @@ class JoshUpscaleFilter : public GenericVideoFilter {
   }
 
  private:
-  // Pull child frame max(index, 0) (warm-up clamps to frame 0 like the
-  // reference) and repack bottom-up RGB32 -> contiguous BGR24.
+  // Pull the child frame (the stream mirrors pre-stream warm-up
+  // indices itself, so index >= 0 here; reference main.cc:110) and
+  // repack bottom-up RGB32 -> contiguous BGR24.
   void readSourceFrame(int index, std::vector<std::uint8_t> *buffer) {
-    PVideoFrame src =
-        child->GetFrame(index >= 0 ? index : 0, m_env);
+    PVideoFrame src = child->GetFrame(index, m_env);
     buffer->resize(m_inW * m_inH * 3);
     const std::uint8_t *srcPtr = src->GetReadPtr();
     const int pitch = src->GetPitch();

@@ -27,10 +27,14 @@ void VideoStream::reset(int startFrame) {
   m_runtime->reset();
   m_cache.clear();
   m_nextFrame = startFrame - m_maxBacktrack;
+  m_dontCache = m_maxBacktrack;
 }
 
 const std::vector<std::uint8_t> &VideoStream::processNext(int n) {
-  m_source(n < 0 ? 0 : n, &m_inBuffer);
+  // Mirrored warm-up lead-in (reference main.cc:110,
+  // child->GetFrame(n >= 0 ? n : -n)): pre-stream frames carry real
+  // motion instead of a frozen frame 0.
+  m_source(n < 0 ? -n : n, &m_inBuffer);
   std::size_t inRow = m_runtime->getInputWidth() * 3;
   std::size_t outRow = m_runtime->getOutputWidth() * 3;
   if (m_inBuffer.size() != inRow * m_runtime->getInputHeight()) {
@@ -52,9 +56,12 @@ const std::vector<std::uint8_t> &VideoStream::processNext(int n) {
   m_runtime->processImage(in, out);
   m_nextFrame = n + 1;
 
-  if (n < 0) {
-    // Warm-up output: not cached (reference skips the first
-    // MAX_BACKTRACK warm-up outputs, main.cc:150-157).
+  if (m_dontCache > 0) {
+    // Warm-up output after ANY reset (not just pre-stream indices):
+    // computed from partially-warmed state, never cached (reference
+    // m_DontCache, main.cc:150-157) -- a later back-seek must re-warm
+    // instead of serving the degraded frame.
+    --m_dontCache;
     m_lastOutput = std::move(outBuffer);
     return m_lastOutput;
   }

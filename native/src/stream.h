@@ -23,7 +23,8 @@ class VideoStream {
   static constexpr int kMaxBacktrack = 16;
 
   // `source(index, buffer)` must fill `buffer` with the contiguous BGR24
-  // input frame `max(index, 0)`.
+  // input frame `index` (always >= 0: warm-up lead-ins before frame 0
+  // arrive mirrored, reference main.cc:110).
   using Source =
       std::function<void(int, std::vector<std::uint8_t> *)>;
 
@@ -31,7 +32,12 @@ class VideoStream {
               int maxBacktrack = kMaxBacktrack)
       : m_runtime(runtime),
         m_source(std::move(source)),
-        m_maxBacktrack(maxBacktrack) {}
+        m_maxBacktrack(maxBacktrack),
+        // The stream opens in a warm-up window (reference
+        // m_NextFrame = -MAX_BACKTRACK_SIZE): frame 0 is served with
+        // real mirrored-motion lead-in.
+        m_nextFrame(-maxBacktrack),
+        m_dontCache(maxBacktrack) {}
 
   // Upscaled frame n (contiguous BGR24), enforcing sequential
   // recurrence.
@@ -44,7 +50,8 @@ class VideoStream {
   Runtime *m_runtime;
   Source m_source;
   int m_maxBacktrack;
-  int m_nextFrame = 0;
+  int m_nextFrame;
+  int m_dontCache;
   std::list<std::pair<int, std::vector<std::uint8_t>>> m_cache;
   std::vector<std::uint8_t> m_inBuffer;
   std::vector<std::uint8_t> m_lastOutput;

@@ -211,7 +211,7 @@ int main(int argc, char **argv) {
   //   frames 0..3 sequential; back-seek 2 (LRU cache hit, identical
   //   bytes); forward 7 (bounded replay of 4..6); forward 40 (jump
   //   past backtrack: reset + 16-frame warm-up); back-seek 3 (out of
-  //   cache: reset + clamped warm-up on frame 0).
+  //   cache: reset + mirrored warm-up below frame 0, main.cc:110).
   auto get = [&](int n, const char *label) {
     PVideoFrame f = filter->GetFrame(n, &env);
     HOST_CHECK(dumpFrame(f, vi, outDir + "/" + label + ".raw"));

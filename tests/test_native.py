@@ -275,7 +275,7 @@ def test_fake_avisynth_host_seek_patterns(tmp_path):
     under real script seek patterns: sequential, cached back-seek,
     bounded forward replay, jump past the backtrack window (stream
     reset + 16-frame warm-up), and an out-of-cache back-seek (reset +
-    clamped warm-up on frame 0).  Every output frame is compared byte
+    mirrored warm-up below frame 0).  Every output frame is compared byte
     for byte against the mock PJRT rule with the executions-since-reset
     counter the VideoStream semantics imply.  Reference behavior being
     matched: avisynth_plugin/src/main.cc:83-157."""
@@ -305,9 +305,12 @@ def test_fake_avisynth_host_seek_patterns(tmp_path):
     # seq 0..3 count up; back_2 is an LRU cache hit (same bytes as
     # seq_2); fwd_7 replays 4..6 first; jump_40 resets and warms up 16
     # frames (24..39) before 40; backjump_3 resets with the warm-up
-    # clamped to source frame 0 (13 clamped + frames 0..2), then 3.
-    expect = [("seq_0", 0, 0), ("seq_1", 1, 1), ("seq_2", 2, 2),
-              ("seq_3", 3, 3), ("back_2", 2, 2), ("fwd_7", 7, 7),
+    # MIRRORED below frame 0 (reference main.cc:110: 13..1, then 0..2),
+    # then 3.  The stream also OPENS in a 16-frame mirrored warm-up
+    # (reference m_NextFrame = -MAX_BACKTRACK_SIZE), so seq_0 is the
+    # 17th execution (t = executions before it since engine reset).
+    expect = [("seq_0", 0, 16), ("seq_1", 1, 17), ("seq_2", 2, 18),
+              ("seq_3", 3, 19), ("back_2", 2, 18), ("fwd_7", 7, 23),
               ("jump_40", 40, 16), ("backjump_3", 3, 16)]
     for label, n, t in expect:
         raw = np.fromfile(out_dir / f"{label}.raw", np.uint8)

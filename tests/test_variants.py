@@ -148,3 +148,37 @@ def test_moving_avg_in_recurrence(rng):
     np.testing.assert_allclose(
         np.asarray(state["pre_gen"]), np.asarray(out2["output_raw"]),
         atol=1e-6)
+
+
+def test_remove_flow_serves_with_default_engine_options(rng):
+    """A remove_flow model built with the registry DEFAULTS (s2d_mode +
+    deferred_display on) must serve through the Engine: its apply()
+    never emits output_s2d, so the engine must not run the deferred
+    d2s+u8 display program on the already-u8 HR output (it used to,
+    crashing every process() call on such a package)."""
+    from joshupscale_tpu.runtime.engine import Engine
+
+    config = _config(remove_flow=True)
+    del config["inference"]["flow"]
+    del config["flow"]
+    del config["inference"]["s2d_mode"]  # registry default (True)
+    models = create_models(config, seed=1)
+    eng = Engine(models["inference"].obj, models["inference"].params)
+    assert not eng._deferred
+    frame = rng.integers(0, 256, (8, 12, 3)).astype(np.uint8)
+    out = eng.process(frame)
+    assert out.shape == (32, 48, 3) and out.dtype == np.uint8
+    clip = eng.process_clip(np.stack([frame, frame]))
+    np.testing.assert_array_equal(clip[0], out)
+
+
+def test_flow_num_inputs_below_two_rejected():
+    """num_inputs counts the current frame plus the last-frame shift
+    register; 1 leaves the register empty and used to IndexError at
+    trace time -- must fail at build with a clear message."""
+    import pytest
+
+    config = _config()
+    config["flow"]["num_inputs"] = 1
+    with pytest.raises(ValueError, match="num_inputs must be >= 2"):
+        create_models(config, seed=0)

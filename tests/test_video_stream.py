@@ -47,9 +47,15 @@ def _stream(built, frames, **kw):
 
 
 def test_sequential_matches_engine(setup):
+    """The stream OPENS in a warm-up window (reference m_NextFrame =
+    -MAX_BACKTRACK_SIZE): frame 0 is served after max_backtrack
+    mirrored lead-in frames, clamped to the stream length."""
     built, frames = setup
+    back = 16
     vs = _stream(built, frames)
     eng = Engine(built.obj, built.params)
+    for n in range(-back, 0):
+        eng.process(frames[min(-n, N - 1)])  # mirrored warm-up
     for i in range(N):
         np.testing.assert_array_equal(
             vs.get_frame(i), eng.process(frames[i]))
@@ -71,6 +77,8 @@ def test_small_backseek_served_from_cache(setup):
     vs.engine.process = orig
     # The stream continues correctly after cache hits.
     eng = Engine(built.obj, built.params)
+    for i in (3, 2, 1):
+        eng.process(frames[i])  # the stream's own mirrored warm-up
     for i in range(6):
         ref = eng.process(frames[i])
     np.testing.assert_array_equal(vs.get_frame(5), ref)
@@ -84,10 +92,10 @@ def test_large_backseek_resets_and_rewarms(setup):
         vs.get_frame(i)
     out0 = vs.get_frame(0)  # 0 is far behind next=6 and evicted
     # Independent reproduction of the warm-up: reset engine, feed
-    # `back` lead-in frames (clamped to frame 0), then frame 0.
+    # `back` MIRRORED lead-in frames (reference main.cc:110), then 0.
     eng = Engine(built.obj, built.params)
-    for _ in range(back):
-        eng.process(frames[0])
+    for i in range(back, 0, -1):
+        eng.process(frames[i])
     np.testing.assert_array_equal(out0, eng.process(frames[0]))
 
 
@@ -110,3 +118,29 @@ def test_out_of_range_raises(setup):
         vs.get_frame(N)
     with pytest.raises(IndexError):
         vs.get_frame(-1)
+
+
+def test_warmup_outputs_not_cached_after_reset(setup):
+    """Outputs produced inside a post-reset warm-up window come from
+    partially-warmed state and must NOT be cached (reference
+    m_DontCache, main.cc:150-157): a later back-seek into that window
+    re-warms instead of serving the degraded frame."""
+    built, frames = setup
+    back = 2
+    vs = _stream(built, frames, max_backtrack=back)
+    for i in range(8):
+        vs.get_frame(i)
+    vs.get_frame(1)  # out of cache: reset(1), warm-up covers n=-1,0
+    # Frame 0 was just computed as a warm-up output; it must not have
+    # been cached -- the stream must re-warm, touching the engine.
+    calls = []
+    orig = vs.engine.process
+    vs.engine.process = lambda f: calls.append(1) or orig(f)
+    out0 = vs.get_frame(0)
+    vs.engine.process = orig
+    assert calls, "warm-up output served from cache (reference "\
+        "m_DontCache semantics violated)"
+    eng = Engine(built.obj, built.params)
+    for i in range(back, 0, -1):
+        eng.process(frames[i])  # mirrored re-warm
+    np.testing.assert_array_equal(out0, eng.process(frames[0]))
