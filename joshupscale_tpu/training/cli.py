@@ -140,9 +140,22 @@ def train(config: Dict[str, Any], seed: int = 0,
             seed=seed,
         )
         val_iterable = val_ds
+        if next(iter(val_ds), None) is None:
+            # BatchOp drops the remainder: fewer than batch_size val
+            # sequences leaves val_ds EMPTY, and monitoring would
+            # silently fall back to the train metric.
+            log("WARNING: val dataset yielded no full batches "
+                "(val_size/batch_size exceed the available "
+                "sequences?); validation metrics will be absent")
         inference = built.config.get("inference")
         if inference is not None and inference.obj is not None:
-            play_batch = next(iter(play_ds))
+            try:
+                play_batch = next(iter(play_ds))
+            except StopIteration:
+                raise ValueError(
+                    "play dataset is empty: the val dataset must yield "
+                    "at least play_size sequences (BatchOp drops "
+                    "incomplete batches)") from None
             play_cb = PlayCallback(
                 inference.obj, play_batch,
                 os.path.join(log_dir, "play"),
@@ -246,6 +259,9 @@ def train(config: Dict[str, Any], seed: int = 0,
         rng=rng,
         val_fn=val_fn if val_iterable is not None else None,
         val_data=val_iterable,
+        # The CLI's val set is CacheOp'd and immutable: stage it to
+        # device once instead of re-uploading every epoch.
+        cache_val_on_device=True,
         checkpoint_dir=ckpt_dir,
         monitor=monitor,
         early_stopping_patience=train_cfg.get("early_stopping_patience"),

@@ -28,8 +28,12 @@ def get_learning_rate(lr: Union[float, Dict[str, Any]]):
             staircase=bool(lr.get("staircase", False)),
         )
     if name == "piecewise":
-        # Keras PiecewiseConstantDecay(boundaries, values).
-        boundaries = [int(b) for b in lr["boundaries"]]
+        # Keras PiecewiseConstantDecay(boundaries, values): values[0]
+        # applies while step <= boundaries[0] (inclusive), but
+        # optax.join_schedules switches AT the boundary count -- shift
+        # by one so the reference's step-for-step LR sequence is
+        # reproduced exactly.
+        boundaries = [int(b) + 1 for b in lr["boundaries"]]
         values = [float(v) for v in lr["values"]]
         return optax.join_schedules(
             schedules=[optax.constant_schedule(v) for v in values],

@@ -651,6 +651,7 @@ def fit(
     profile_batch: Tuple[int, int] = (5, 10),
     metric_lag: Optional[int] = None,
     stage_inputs: bool = True,
+    cache_val_on_device: bool = False,
 ):
     """Generic epoch loop: train, validate, checkpoint best+latest.
 
@@ -678,6 +679,7 @@ def fit(
     stale = 0
     acc = MeanAccumulator()
     pending_metrics = collections.deque()
+    val_device_cache: list = []
     global_step = 0
     profiling = False
     tb = TensorBoardLogger(tensorboard_dir) if tensorboard_dir else None
@@ -692,14 +694,27 @@ def fit(
     def _host_batches():
         """Fully-formed host batches (incl. the K-step stacking)."""
         it = iter(train_data)
+
+        def _next():
+            # PEP 479 turns a leaking StopIteration into an opaque
+            # RuntimeError mid-training; name the real cause instead.
+            try:
+                return next(it)
+            except StopIteration:
+                raise ValueError(
+                    "train_data ran out of batches: the training "
+                    "stream must be infinite (add a RepeatOp / repeat "
+                    "the iterable) or cover epochs * steps_per_epoch "
+                    "batches") from None
+
         while True:
             if spe > 1:
-                group = [next(it) for _ in range(spe)]
+                group = [_next() for _ in range(spe)]
                 yield jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs), *group
                 )
             else:
-                yield next(it)
+                yield _next()
 
     if stage_inputs:
         batch_iter: Iterator = _InputStager(
@@ -759,10 +774,25 @@ def fit(
                 # draws a random first-frame pre_warp; a fresh key per
                 # epoch would make val_loss (the checkpoint/early-stop
                 # monitor) jitter by the draw instead of by the model.
-                for val_i, batch in enumerate(val_data):
-                    vacc.update(val_fn(state, device_normalize(batch),
-                                       jax.random.fold_in(
-                                           jax.random.PRNGKey(0), val_i)))
+                if val_device_cache:
+                    # Opt-in (cache_val_on_device): the val set is
+                    # immutable, so epochs 2+ skip the synchronous H2D
+                    # re-upload + re-normalize of every batch (~8 MB,
+                    # ~180 ms per batch through the tunnel).
+                    for val_i, batch in enumerate(val_device_cache):
+                        vacc.update(val_fn(state, batch,
+                                           jax.random.fold_in(
+                                               jax.random.PRNGKey(0),
+                                               val_i)))
+                else:
+                    for val_i, batch in enumerate(val_data):
+                        staged = device_normalize(jax.device_put(batch))
+                        if cache_val_on_device:
+                            val_device_cache.append(staged)
+                        vacc.update(val_fn(state, staged,
+                                           jax.random.fold_in(
+                                               jax.random.PRNGKey(0),
+                                               val_i)))
                 entry.update(
                     {f"val_{k}": v for k, v in vacc.result().items()}
                 )
@@ -805,8 +835,11 @@ def fit(
                 stale += 1
             if epoch_callback is not None:
                 epoch_callback(epoch, state, entry)
+            # Keras EarlyStopping: stop once `wait >= patience`
+            # non-improving epochs have accumulated (reference
+            # train_local.py:130-136).
             if (early_stopping_patience is not None
-                    and stale > early_stopping_patience):
+                    and stale >= early_stopping_patience):
                 log_fn(f"early stopping at epoch {epoch}")
                 break
     finally:

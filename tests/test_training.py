@@ -910,9 +910,10 @@ def test_fit_early_stopping_without_checkpoint_dir():
         rng=jax.random.PRNGKey(0), checkpoint_dir=None,
         early_stopping_patience=2, log_fn=lambda _m: None,
     )
-    # Loss worsens every epoch: epoch 0 sets best, then patience(2)+1
-    # stale epochs -> stop at epoch 3, far short of 20.
-    assert len(history) == 4
+    # Loss worsens every epoch: epoch 0 sets best, then 2 stale epochs
+    # hit wait >= patience (Keras EarlyStopping semantics) -> stop at
+    # epoch 2, far short of 20.
+    assert len(history) == 3
 
 
 def test_frvsr_single_validates_with_default_s2d_inference(rng):
@@ -950,3 +951,77 @@ def test_frvsr_single_validates_with_default_s2d_inference(rng):
     _, aux = built.obj.loss(built.params, batch, jax.random.PRNGKey(0),
                             training=False)
     assert np.isfinite(float(aux["metrics"]["loss"]))
+
+
+def test_fit_finite_train_data_raises_clear_error():
+    """A finite training stream must fail with a message naming the
+    cause (missing RepeatOp / undersized iterable), not a PEP-479
+    RuntimeError('generator raised StopIteration') from the stager."""
+    from joshupscale_tpu.training.trainer import TrainState, fit
+
+    def step(state, batch, rng):
+        return state, {"loss": jnp.asarray(1.0)}
+
+    batches = iter([{"input": np.zeros((1,), np.float32)}] * 3)
+    state = TrainState(None, None, jnp.zeros((), jnp.int32))
+    with pytest.raises(ValueError, match="RepeatOp"):
+        fit(step, state, batches, epochs=2, steps_per_epoch=3,
+            rng=jax.random.PRNGKey(0), log_fn=lambda _m: None)
+
+
+def test_piecewise_schedule_matches_keras_boundaries():
+    """Keras PiecewiseConstantDecay keeps values[0] for step <=
+    boundaries[0] (INCLUSIVE); optax.join_schedules switches AT the
+    boundary, so the config translation must shift by one."""
+    from joshupscale_tpu.training.schedules import get_learning_rate
+
+    sched = get_learning_rate(
+        {"name": "piecewise", "boundaries": [10, 20],
+         "values": [1.0, 0.5, 0.25]})
+    assert float(sched(10)) == 1.0   # inclusive boundary
+    assert float(sched(11)) == 0.5
+    assert float(sched(20)) == 0.5
+    assert float(sched(21)) == 0.25
+
+
+def test_fit_cache_val_on_device_single_pass():
+    """cache_val_on_device stages the val set once: epochs 2+ must not
+    re-iterate the host val iterable, and metrics must match the
+    uncached run exactly."""
+    from joshupscale_tpu.training.trainer import TrainState, fit
+
+    def step(state, batch, rng):
+        return state, {"loss": jnp.asarray(0.0)}
+
+    def val_fn(state, batch, rng):
+        return {"val_metric": jnp.asarray(float(batch["x"].sum()))}
+
+    class CountingVal:
+        def __init__(self):
+            self.iterations = 0
+
+        def __iter__(self):
+            self.iterations += 1
+            return iter([{"x": np.full((2,), 3.0, np.float32)},
+                         {"x": np.full((2,), 5.0, np.float32)}])
+
+    def data():
+        while True:
+            yield {"input": np.zeros((1,), np.float32)}
+
+    def run(cache):
+        counting = CountingVal()
+        state = TrainState(None, None, jnp.zeros((), jnp.int32))
+        _, hist = fit(
+            step, state, data(), epochs=3, steps_per_epoch=1,
+            rng=jax.random.PRNGKey(0), val_fn=val_fn,
+            val_data=counting, cache_val_on_device=cache,
+            log_fn=lambda _m: None)
+        return counting.iterations, hist
+
+    it_cached, hist_cached = run(True)
+    it_plain, hist_plain = run(False)
+    assert it_cached == 1 and it_plain == 3
+    # Mean over the two val batches: (2*3 + 2*5) / 2 = 8.
+    for a, b in zip(hist_cached, hist_plain):
+        assert a["val_val_metric"] == b["val_val_metric"] == 8.0
