@@ -63,7 +63,8 @@ typedef void (*JoshUpscaleFrameSource)(void *user, int index,
                                        uint8_t *buffer);
 
 // The stream borrows `runtime` (caller keeps ownership; destroy the
-// stream first).
+// stream first).  `max_backtrack <= 0` selects the default window
+// (16, the reference MAX_BACKTRACK_SIZE).
 JoshUpscaleStream *joshupscale_create_stream(
     JoshUpscaleRuntime *runtime, JoshUpscaleFrameSource source,
     void *user, int max_backtrack);

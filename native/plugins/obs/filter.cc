@@ -92,15 +92,16 @@ class Filter {
     const auto resolution = ::obs_data_get_int(settings, "resolution");
     m_maskedTarget = resolution == 1;
     m_pacer.setLimitFps(::obs_data_get_bool(settings, "limit_fps"));
-    const int model = static_cast<int>(resolution * 2 + preset);
+    // preset/resolution come from persisted scene JSON (untrusted:
+    // hand-edited files or scripts can store any int) -- clamp before
+    // indexing the 4-entry model table.
+    const int requested = static_cast<int>(resolution * 2 + preset);
+    const int model = (requested >= 0 && requested < 4) ? requested : 0;
     if (model != m_model) {
-      // update() runs on the OBS frontend thread while render() runs
-      // inside the graphics context; entering the graphics context
-      // here (it is per-thread refcounted, so initModel's own
-      // enter/leave nests fine) excludes render() for the whole
-      // runtime swap -- no use-after-free window.
-      ::obs_enter_graphics();
-      m_runtime.reset();
+      // initModel runs the slow part (model load + XLA compile,
+      // seconds to minutes) OUTSIDE the graphics lock so the OBS
+      // compositor keeps rendering the old runtime; only the final
+      // pointer/texture swap excludes render() (see initModel).
       if (initModel(kModels[model])) {
         // Only remember the selection on success: a transient load
         // failure must be retried on the next update() with the same
@@ -109,7 +110,6 @@ class Filter {
       } else {
         m_model = -1;
       }
-      ::obs_leave_graphics();
     }
   }
 
@@ -213,15 +213,25 @@ class Filter {
         throw std::runtime_error(std::string("Model not found: ") +
                                  model);
       }
-      m_runtime.reset(core::createRuntime(0, modelPath.get()));
-      const auto inW = m_runtime->getInputWidth();
-      const auto inH = m_runtime->getInputHeight();
-      const auto outW = m_runtime->getOutputWidth();
-      const auto outH = m_runtime->getOutputHeight();
+      // Build the REPLACEMENT runtime outside the graphics lock: the
+      // XLA compile takes seconds to minutes, and holding the global
+      // graphics mutex for it would freeze every OBS scene/source.
+      // render() keeps serving the old runtime until the swap below.
+      std::unique_ptr<core::Runtime> next(
+          core::createRuntime(0, modelPath.get()));
+      const auto inW = next->getInputWidth();
+      const auto inH = next->getInputHeight();
+      const auto outW = next->getOutputWidth();
+      const auto outH = next->getOutputHeight();
+      // Brief exclusion of render() (the graphics context is
+      // per-thread refcounted): swap the runtime pointer and the
+      // buffers/textures render() touches -- no use-after-free
+      // window, no compositor stall.
+      ::obs_enter_graphics();
+      m_runtime = std::move(next);
       m_inFrame.resize(inW * inH * 3);
       m_outFrame.resize(outW * outH * 3);
       m_outUpload.resize(outW * outH * 4);
-      ::obs_enter_graphics();
       freeGraphics();
       m_renderInput = ::gs_texrender_create(GS_BGRX_UNORM, GS_ZS_NONE);
       m_stage = ::gs_stagesurface_create(
@@ -238,7 +248,12 @@ class Filter {
     } catch (...) {
       blog(LOG_ERROR, "[joshupscale] %s",
            core::getExceptionString().c_str());
+      // A failed swap leaves the filter in the documented error state
+      // (runtime absent -> render() skips the filter); exclude
+      // render() while clearing.
+      ::obs_enter_graphics();
       m_runtime.reset();
+      ::obs_leave_graphics();
       return false;
     }
   }

@@ -19,6 +19,7 @@
 #include <memory>
 #include <sstream>
 #include <stdexcept>
+#include <type_traits>
 
 #include "xla/pjrt/c/pjrt_c_api.h"
 
@@ -103,7 +104,14 @@ struct ClientOptions {
         }
         case 'i':
           nv.type = PJRT_NamedValue_kInt64;
-          nv.int64_value = std::stoll(value);
+          try {
+            nv.int64_value = std::stoll(value);
+          } catch (const std::exception &) {
+            // A bare "stoll" exception gives no hint WHICH option
+            // file/line is bad.
+            throw std::runtime_error("Bad int in PJRT option " +
+                                     nameRef + "=i:" + value);
+          }
           break;
         case 'b':
           nv.type = PJRT_NamedValue_kBool;
@@ -111,7 +119,12 @@ struct ClientOptions {
           break;
         case 'f':
           nv.type = PJRT_NamedValue_kFloat;
-          nv.float_value = std::stof(value);
+          try {
+            nv.float_value = std::stof(value);
+          } catch (const std::exception &) {
+            throw std::runtime_error("Bad float in PJRT option " +
+                                     nameRef + "=f:" + value);
+          }
           break;
         default:
           throw std::runtime_error(
@@ -151,18 +164,29 @@ namespace {
 
 // The api table is append-only: a function is callable iff its slot
 // lies within the plugin's reported struct_size AND is non-null.
+// The slot is read via memcpy ONLY after the bounds check: a plugin
+// built against an older header allocates a smaller table, and
+// `api->member` would be the very out-of-bounds read this check
+// exists to prevent.
 template <typename Fn>
-Fn *requireFn(const PJRT_Api *api, Fn *fn, std::size_t offset,
-              const char *name) {
-  if (offset + sizeof(void *) > api->struct_size || fn == nullptr) {
+Fn requireFn(const PJRT_Api *api, Fn /*type tag*/, std::size_t offset,
+             const char *name) {
+  Fn fn = nullptr;
+  if (offset + sizeof(void *) <= api->struct_size) {
+    std::memcpy(&fn, reinterpret_cast<const char *>(api) + offset,
+                sizeof(fn));
+  }
+  if (fn == nullptr) {
     throw std::runtime_error(
         std::string("PJRT plugin does not provide ") + name);
   }
   return fn;
 }
 
-#define JOSHUPSCALE_REQUIRE_FN(api, name) \
-  requireFn((api), (api)->name, offsetof(PJRT_Api, name), #name)
+#define JOSHUPSCALE_REQUIRE_FN(api, name)                   \
+  requireFn((api),                                          \
+            static_cast<std::decay_t<decltype((api)->name)>>(nullptr), \
+            offsetof(PJRT_Api, name), #name)
 
 }  // namespace
 
@@ -435,6 +459,16 @@ void PjrtEngine::reset() {
 // event while the NEXT frame's execute runs.
 void PjrtEngine::submit(const std::uint8_t *in, std::size_t inSize,
                         Pending *pending) {
+  if (m_state.empty()) {
+    // A prior failed execute destroyed the donated state handles
+    // (see destroyState() below); re-running with num_args == 1
+    // against the N-argument executable would surface as an opaque
+    // plugin-side error.  Warm state from a wedged step is worthless
+    // anyway, so recover with a fresh zero state automatically.
+    JOSHUPSCALE_LOG_WARN
+        << "re-initializing engine state after a failed execute";
+    initState();
+  }
   if (inSize != m_spec.inputs[0].byteSize()) {
     throw std::runtime_error(
         "Expected " + std::to_string(m_spec.inputs[0].byteSize()) +

@@ -94,10 +94,20 @@ PythonEngine::PythonEngine(int deviceId, const std::string &modelPath) {
     throwPythonError("Engine construction failed");
   }
   m_engine = engine;
-  m_inputWidth = getSizeAttr(engine, "input_width");
-  m_inputHeight = getSizeAttr(engine, "input_height");
-  m_outputWidth = getSizeAttr(engine, "output_width");
-  m_outputHeight = getSizeAttr(engine, "output_height");
+  try {
+    m_inputWidth = getSizeAttr(engine, "input_width");
+    m_inputHeight = getSizeAttr(engine, "input_height");
+    m_outputWidth = getSizeAttr(engine, "output_width");
+    m_outputHeight = getSizeAttr(engine, "output_height");
+  } catch (...) {
+    // The destructor never runs for a partially constructed object:
+    // without this, a bad size attribute leaks the live engine (its
+    // jitted executables and device buffers) on every failed retry --
+    // the same class the PjrtEngine constructor already guards.
+    Py_DECREF(engine);
+    m_engine = nullptr;
+    throw;
+  }
   JOSHUPSCALE_LOG_INFO << "engine loaded: " << modelPath << " ("
                        << m_inputWidth << 'x' << m_inputHeight << " -> "
                        << m_outputWidth << 'x' << m_outputHeight << ')';

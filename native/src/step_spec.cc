@@ -52,7 +52,11 @@ TensorSpec parseTensor(std::istringstream *line) {
   std::istringstream ds(dims);
   std::string part;
   while (std::getline(ds, part, ',')) {
-    t.dims.push_back(std::stoll(part));
+    try {
+      t.dims.push_back(std::stoll(part));
+    } catch (const std::exception &) {
+      throw std::runtime_error("Bad dim '" + part + "' in step spec");
+    }
   }
   if (t.dims.empty()) {
     throw std::runtime_error("Empty dims in step spec");
@@ -105,6 +109,13 @@ StepSpec parseStepSpec(const std::string &path) {
   if (spec.frameHeight == 0 || spec.frameWidth == 0 ||
       spec.inputs.empty() || spec.outputs.empty()) {
     throw std::runtime_error("Incomplete step spec: " + path);
+  }
+  if (spec.inputs.size() != spec.outputs.size()) {
+    // The serving loop rotates outputs[1:] into inputs[1:] (frame in,
+    // display out, state ping-pong); a mismatched spec would fail
+    // frames later with an opaque wrong-arg-count plugin error.
+    throw std::runtime_error(
+        "Step spec input/output count mismatch: " + path);
   }
   for (const auto &[out, arg] : spec.aliases) {
     if (out < 0 || static_cast<std::size_t>(out) >= spec.outputs.size() ||

@@ -10,6 +10,7 @@
 #include <cstdint>
 #include <functional>
 #include <list>
+#include <stdexcept>
 #include <unordered_map>
 #include <vector>
 
@@ -37,7 +38,13 @@ class VideoStream {
         // m_NextFrame = -MAX_BACKTRACK_SIZE): frame 0 is served with
         // real mirrored-motion lead-in.
         m_nextFrame(-maxBacktrack),
-        m_dontCache(maxBacktrack) {}
+        m_dontCache(maxBacktrack) {
+    if (maxBacktrack < 1) {
+      // 0 would evict every frame the moment it is cached and then
+      // return the front() of an empty list -- UB.
+      throw std::invalid_argument("maxBacktrack must be >= 1");
+    }
+  }
 
   // Upscaled frame n (contiguous BGR24), enforcing sequential
   // recurrence.

@@ -488,6 +488,16 @@ int main(int argc, char **argv) {
   HOST_CHECK(g_presented.w == outW2 && g_presented.h == outH2);
   HOST_CHECK(dumpPresented(outDir + "/ps2_recovered.raw"));
 
+  // 6b. hand-edited scene JSON: out-of-range settings must clamp to
+  //     the default model instead of indexing past the 4-entry table
+  settings.impl.ints["preset"] = 7;
+  settings.impl.ints["resolution"] = 9;
+  g_info->update(data, &settings);
+  stagePattern(&target.impl, target.impl.baseW, target.impl.baseH);
+  g_info->video_tick(data, 1.0F);
+  g_info->video_render(data, nullptr);
+  HOST_CHECK(g_info->get_width(data) > 0);
+
   // 7. teardown
   g_info->destroy(data);
   obs_module_unload();

@@ -84,7 +84,10 @@ int main(int argc, char **argv) {
                           .count();
       ++submitted;
       if (ready) {
-        std::fwrite(outBuf.data(), 1, outSize, fout);
+        if (std::fwrite(outBuf.data(), 1, outSize, fout) != outSize) {
+          std::fprintf(stderr, "short write to %s\n", argv[3]);
+          return 1;
+        }
         ++frames;
       }
     }
@@ -94,13 +97,20 @@ int main(int argc, char **argv) {
         totalSeconds += std::chrono::duration<double>(
                             std::chrono::steady_clock::now() - start)
                             .count();
-        std::fwrite(outBuf.data(), 1, outSize, fout);
+        if (std::fwrite(outBuf.data(), 1, outSize, fout) != outSize) {
+          std::fprintf(stderr, "short write to %s\n", argv[3]);
+          return 1;
+        }
         ++frames;
         start = std::chrono::steady_clock::now();
       }
     }
     std::fclose(fin);
-    std::fclose(fout);
+    if (std::fclose(fout) != 0) {
+      // Buffered writes flush at close: a full disk must not exit 0.
+      std::fprintf(stderr, "error closing %s\n", argv[3]);
+      return 1;
+    }
     std::fprintf(stderr, "processed %ld frames, avg %.3f ms/frame%s\n",
                  frames, frames > 0 ? totalSeconds / frames * 1e3 : 0.0,
                  pipeline ? " (pipelined)" : "");
