@@ -40,7 +40,8 @@ def _clip_time(model, params, T, reps=3):
     # inference path with u8 I/O.
     deferred = (getattr(model, "deferred_display", False)
                 and getattr(model, "s2d_mode", False)
-                and not model.skip_processing)
+                and not model.skip_processing
+                and not getattr(model, "remove_flow", False))
 
     @jax.jit
     def clip(params, frames, state):

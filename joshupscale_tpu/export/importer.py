@@ -112,6 +112,36 @@ def load_params_npz(path: str, template, prefix: str = ""):
     return unflatten_into(template, flat)
 
 
+def detect_checkpoint_prefix(path: str) -> str:
+    """Prefix that maps a checkpoint onto an INFERENCE param tree.
+
+    ``fit()`` saves train STATES flattened whole: a GANTrainState's
+    generator subtree lives under ``gen_params.`` ({flow, generator}),
+    a TrainState's under ``params.``.  A raw ``save_params_npz`` export
+    needs no prefix.  Lets deployment tools accept any of the three
+    checkpoint layouts without the caller spelling the prefix.
+    """
+    with np.load(path) as data:
+        keys = list(data.files)
+    for prefix in ("gen_params.", "params."):
+        if any(k.startswith(prefix + "generator.")
+               or k.startswith(prefix + "flow.") for k in keys):
+            return prefix[:-1]
+    return ""
+
+
+def load_trained_params(path: str, template):
+    """Template params from ANY checkpoint layout, auto-detected.
+
+    Accepts a raw ``save_params_npz`` export, a ``fit()`` FRVSR
+    TrainState checkpoint (``params.`` prefix), or a GANTrainState
+    checkpoint (``gen_params.``) -- the shared loader behind every
+    deployment/eval tool, so the prefix rules live in one place.
+    """
+    return load_params_npz(path, template,
+                           prefix=detect_checkpoint_prefix(path))
+
+
 # ---------------------------------------------------------------------------
 # Keras h5
 

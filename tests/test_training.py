@@ -1025,3 +1025,49 @@ def test_fit_cache_val_on_device_single_pass():
     # Mean over the two val batches: (2*3 + 2*5) / 2 = 8.
     for a, b in zip(hist_cached, hist_plain):
         assert a["val_val_metric"] == b["val_val_metric"] == 8.0
+
+
+def test_checkpoint_prefix_autodetect_and_load(rng, tmp_path):
+    """Deployment tools load trained weights from ANY checkpoint layout
+    (raw export / TrainState / GANTrainState) via the shared
+    auto-detecting loader -- make_model_set --weights used to crash on
+    its own documented example (fit() checkpoints are flattened train
+    STATES, not raw params)."""
+    from joshupscale_tpu.export.importer import (
+        detect_checkpoint_prefix,
+        load_trained_params,
+        save_params_npz,
+    )
+
+    models = create_models(_config(with_gan=True), seed=0)
+    gbuilt = models["gan"]
+    gopt = make_optimizer(1e-4)
+    dopt = make_optimizer(1e-4)
+    gstate = _gan_state(gbuilt.obj, gbuilt.params["gen"],
+                        gbuilt.params["discr"], gopt, dopt)
+    gan_ckpt = str(tmp_path / "gan.npz")
+    save_checkpoint(gan_ckpt, gstate.tree())
+    assert detect_checkpoint_prefix(gan_ckpt) == "gen_params"
+
+    fr = models["frvsr"]
+    fopt = make_optimizer(1e-4)
+    fstate = TrainState(
+        jax.tree_util.tree_map(jnp.array, fr.params),
+        fopt.init(fr.params), jnp.zeros((), jnp.int32))
+    frvsr_ckpt = str(tmp_path / "frvsr.npz")
+    save_checkpoint(frvsr_ckpt, fstate.tree())
+    assert detect_checkpoint_prefix(frvsr_ckpt) == "params"
+
+    raw_ckpt = str(tmp_path / "raw.npz")
+    save_params_npz(raw_ckpt, gbuilt.params["gen"])
+    assert detect_checkpoint_prefix(raw_ckpt) == ""
+
+    # The loader maps each layout onto an inference template.
+    template = {"flow": gbuilt.params["gen"]["flow"],
+                "generator": gbuilt.params["gen"]["generator"]}
+    for ckpt in (gan_ckpt, raw_ckpt):
+        loaded = load_trained_params(ckpt, template)
+        np.testing.assert_array_equal(
+            np.asarray(loaded["generator"]["conv_1"]["kernel"]),
+            np.asarray(
+                gbuilt.params["gen"]["generator"]["conv_1"]["kernel"]))

@@ -53,7 +53,6 @@ def main() -> int:
 
     import jax.numpy as jnp
 
-    from joshupscale_tpu.export.importer import unflatten_into
     from joshupscale_tpu.export.quantize import (
         calibrate,
         quantize_params_int8,
@@ -91,11 +90,9 @@ def main() -> int:
     }
     built = create_models(config, seed=0)["inference"]
     model, params = built.obj, built.params
-    flat = dict(np.load(args.weights))
-    prefix = "gen_params." if args.gan else "params."
-    sub = {k[len(prefix):]: v for k, v in flat.items()
-           if k.startswith(prefix)}
-    params = unflatten_into(params, sub)
+    from joshupscale_tpu.export.importer import load_trained_params
+
+    params = load_trained_params(args.weights, params)
 
     # The fidelity reference: the bf16 engine on the same clip.
     ref_outs = Engine(model, params,

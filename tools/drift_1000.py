@@ -100,18 +100,21 @@ def main() -> int:
     # --- pass 1: chunked clip scans on both engines, diff per frame --
     t0 = time.time()
     stats = []
+    hist = np.zeros(256, np.int64)  # pooled per-pixel |diff| histogram
     clip5 = clip[:, None]
     for start in range(0, T, CHUNK):
         part = clip5[start:start + CHUNK]
         out_f = eng_f.process_clip(part)
         out_u8 = eng_u8.process_clip(part)
         d = np.abs(out_f.astype(np.int16) - out_u8.astype(np.int16))
+        hist += np.bincount(d.ravel(), minlength=256)
         for i in range(d.shape[0]):
             df = d[i]
             stats.append((float(df.mean()), float(np.percentile(df, 99)),
                           int(df.max())))
         if start % 200 == 0:
-            print(f"  frame {start}: u8-vs-float mean "
+            last = start + d.shape[0] - 1
+            print(f"  frame {last}: u8-vs-float mean "
                   f"{stats[-1][0]:.3f} max {stats[-1][2]}", flush=True)
     stats = np.asarray(stats)
     print(f"clip passes done in {time.time() - t0:.0f}s", flush=True)
@@ -138,7 +141,13 @@ def main() -> int:
         "frames": T,
         "u8_state_vs_float": {
             "mean_u8_steps_overall": float(stats[:, 0].mean()),
-            "p99_u8_steps_overall": float(np.percentile(stats[:, 1], 99)),
+            # True pooled per-pixel p99 (from the histogram); the
+            # per-frame form is kept for comparability with the
+            # round-3 BASELINE row, which recorded p99-of-frame-p99s
+            # (biased high vs the pooled value).
+            "p99_u8_steps_overall": int(np.searchsorted(
+                np.cumsum(hist), 0.99 * hist.sum())),
+            "p99_of_frame_p99s": float(np.percentile(stats[:, 1], 99)),
             "max_u8_steps_overall": int(stats[:, 2].max()),
             "mean_by_checkpoint": {
                 str(c): float(stats[c, 0]) for c in CHECKPOINTS},

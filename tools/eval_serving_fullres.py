@@ -22,6 +22,10 @@ import sys
 import cv2
 import numpy as np
 
+# Repo root for the package import AND tools/ for the sibling script:
+# module-mode execution (python -m tools....) has no implicit
+# script-dir sys.path entry.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
@@ -78,7 +82,6 @@ def main() -> int:
         eng = create_runtime(args.weights,
                              frame_size=(args.height, args.width))
     else:
-        from joshupscale_tpu.export.importer import unflatten_into
         from joshupscale_tpu.models import create_models
 
         config = {
@@ -95,12 +98,9 @@ def main() -> int:
                           "compute_dtype": "bfloat16"},
         }
         built = create_models(config, seed=0)["inference"]
-        flat = dict(np.load(args.weights))
-        prefix = "gen_params." if args.gan else "params."
-        params = unflatten_into(built.params, {
-            k[len(prefix):]: v for k, v in flat.items()
-            if k.startswith(prefix)
-        })
+        from joshupscale_tpu.export.importer import load_trained_params
+
+        params = load_trained_params(args.weights, built.params)
         eng = Engine(built.obj, params)
 
     outs = eng.process_clip(lr[:, None])[:, 0]  # (T, 4H, 4W, 3) u8

@@ -116,6 +116,19 @@ def main() -> int:
           f"{w * 4}x{h * 4}")
 
     if args.package:
+        # The package branch serves the package exactly as exported;
+        # tier flags would be SILENTLY ignored and the printed numbers
+        # misattributed to the requested tier.
+        ignored = [flag for flag, on in (
+            ("--int8", args.int8), ("--calibrate", bool(args.calibrate)),
+            ("--u8-state", args.u8_state), ("--f32", args.f32),
+            ("--zero-init", args.zero_init),
+        ) if on]
+        if ignored:
+            raise SystemExit(
+                f"--package serves the package as exported; "
+                f"{' '.join(ignored)} would be ignored -- bake the "
+                f"tier into the package instead")
         from joshupscale_tpu.runtime.engine import create_runtime
 
         eng = create_runtime(args.weights, batch_size=n_seq,
@@ -148,14 +161,13 @@ def main() -> int:
         built = models["inference"]
         params = built.params
         if args.weights != "random":
-            flat = dict(np.load(args.weights))
-            prefix = ("gen_params." if args.gan else "params.")
-            from joshupscale_tpu.export.importer import unflatten_into
+            from joshupscale_tpu.export.importer import (
+                load_trained_params,
+            )
 
-            sub = {k[len(prefix):]: v for k, v in flat.items()
-                   if k.startswith(prefix)}
-            trained = unflatten_into(params, sub)
-            params = trained
+            # Auto-detects raw / TrainState / GANTrainState layouts
+            # (--gan kept for CLI compatibility; no longer needed).
+            params = load_trained_params(args.weights, params)
         if args.int8:
             from joshupscale_tpu.export.quantize import (
                 calibrate,

@@ -91,13 +91,11 @@ def main() -> int:
         built = create_models(config, seed=0)["inference"]
         model, params = built.obj, built.params
         if args.weights != "random":
-            from joshupscale_tpu.export.importer import unflatten_into
+            from joshupscale_tpu.export.importer import (
+                load_trained_params,
+            )
 
-            flat = dict(np.load(args.weights))
-            prefix = "gen_params." if args.gan else "params."
-            sub = {k[len(prefix):]: v for k, v in flat.items()
-                   if k.startswith(prefix)}
-            params = unflatten_into(params, sub)
+            params = load_trained_params(args.weights, params)
 
     clip = jnp.asarray(np.transpose(lr, (1, 0, 2, 3, 4)))
     ranges = calibrate(model, params, clip,

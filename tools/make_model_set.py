@@ -85,8 +85,20 @@ def build_model_set(out, models=None, configs=None, weights=None,
             doc = yaml.safe_load(f)
         config = doc["models"] if "models" in doc else doc
         if name in weights:
+            from joshupscale_tpu.export.importer import (
+                detect_checkpoint_prefix,
+            )
+
+            # fit() checkpoints are flattened train STATES (TrainState
+            # under 'params.', GANTrainState under 'gen_params.'); a
+            # bare path would miss every key.  Auto-detect so
+            # `--weights model_psp=checkpoints/gan/best.npz` works on
+            # all three checkpoint layouts.
+            prefix = detect_checkpoint_prefix(weights[name])
             entry = dict(config["inference"])
-            entry["weights"] = weights[name]
+            entry["weights"] = (
+                {"path": weights[name], "prefix": prefix}
+                if prefix else weights[name])
             config = dict(config, inference=entry)
         print(f"[{name}] building from {cfg_path}"
               + (f" + weights {weights[name]}" if name in weights

@@ -70,10 +70,12 @@ def main(onnx_path: str, npz_path: str) -> int:
     for name, arr in inits.items():
         key = _normalize(name)
         if name in conv_like and arr.ndim == 4:
-            if conv_like[name] == "Conv":
-                arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
-            else:
-                arr = arr.transpose(2, 3, 1, 0)  # IOHW -> HW O I
+            # ONE permutation covers both: Conv OIHW -> HWIO and
+            # ConvTranspose IOHW -> HWOI swap the same axes (the last
+            # two ONNX dims go first, the first two reverse into the
+            # tail) -- npz_to_onnx.py inverts both with its single
+            # transpose(3, 2, 0, 1).
+            arr = arr.transpose(2, 3, 1, 0)
         out[key] = arr
     np.savez(npz_path, **out)
     print(f"wrote {len(out)} arrays to {npz_path}")

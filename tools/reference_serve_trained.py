@@ -55,11 +55,15 @@ def main() -> int:
     hr_files = sorted(glob.glob(os.path.join(args.data, "val/hr/*.png")))
     n = args.seqs * 10
     assert len(lr_files) >= n
-    lr = np.stack([cv2.imread(p, cv2.IMREAD_COLOR)
-                   for p in lr_files[:n]]).reshape(args.seqs, 10, 48, 48, 3)
-    hr = np.stack([cv2.imread(p, cv2.IMREAD_COLOR)
-                   for p in hr_files[:n]]).reshape(
-                       args.seqs, 10, 192, 192, 3)
+    # Frame dims come from the files (datasets are size-generic:
+    # make_synth_dataset --hr-size); only the 10-frame grouping is
+    # fixed by the dataset layout.
+    lr_all = np.stack([cv2.imread(p, cv2.IMREAD_COLOR)
+                       for p in lr_files[:n]])
+    hr_all = np.stack([cv2.imread(p, cv2.IMREAD_COLOR)
+                       for p in hr_files[:n]])
+    lr = lr_all.reshape(args.seqs, 10, *lr_all.shape[1:])
+    hr = hr_all.reshape(args.seqs, 10, *hr_all.shape[1:])
     h, w = lr.shape[2:4]
 
     eng = create_runtime(args.package, frame_size=(h, w))

@@ -125,8 +125,17 @@ def main() -> int:
     if r.returncode != 0:
         print("native run FAILED")
         return 1
-    # "processed N frames, avg X ms/frame"
-    avg_ms = float(r.stderr.rsplit("avg", 1)[1].split("ms")[0])
+    # "processed N frames, avg X ms/frame" -- anchored parse: a loose
+    # rsplit("avg") would crash (or grab a plugin log line) after an
+    # hours-long real-chip run.
+    import re
+
+    m = re.search(r"avg ([0-9.]+) ms/frame", r.stderr)
+    if m is None:
+        print("native run produced no latency summary; stderr tail "
+              "above")
+        return 1
+    avg_ms = float(m.group(1))
     print(f"native PJRT path: {avg_ms:.2f} ms/frame "
           f"(includes per-frame host<->device transfer + tunnel RTT)")
 
