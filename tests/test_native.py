@@ -809,3 +809,73 @@ def test_make_model_set_layout(tmp_path):
         with open(os.path.join(REPO, rel)) as f:
             doc = yaml.safe_load(f)
         assert "inference" in doc["models"], name
+
+
+def test_make_model_set_with_trained_checkpoint(tmp_path):
+    """The DEPLOYMENT.md flow: a fit() train-state checkpoint deploys
+    through --weights into a servable package whose weights ARE the
+    checkpoint's (this crashed before: the registry got a bare path
+    with no 'gen_params.'/'params.' prefix)."""
+    import yaml
+
+    import jax
+    import jax.numpy as jnp
+
+    from joshupscale_tpu.export.package import load_package
+    from joshupscale_tpu.models import create_models
+    from joshupscale_tpu.training import (
+        GANTrainState,
+        make_optimizer,
+        save_checkpoint,
+    )
+    from tools.make_model_set import build_model_set
+
+    tiny = {
+        "flow": {"name": "flow-resnet", "num_inputs": 4,
+                 "num_filters": 8, "num_res_blocks": 1},
+        "generator": {"name": "generator-resnet", "num_filters": 8,
+                      "num_res_blocks": 1},
+        "inference": {"name": "inference", "flow": {"model": "flow"},
+                      "generator": {"model": "generator"},
+                      "skip_processing": False, "frame_height": 16,
+                      "frame_width": 16, "compute_dtype": "bfloat16"},
+    }
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump({"models": tiny}))
+
+    # A GAN train-state checkpoint with recognizable weights (seed 7
+    # differs from the tool's build seed 0).
+    gan_cfg = dict(tiny)
+    gan_cfg["discriminator"] = {"name": "discriminator", "alpha": 0.25}
+    gan_cfg["vgg"] = {"name": "vgg"}
+    gan_cfg["gan"] = {"name": "gan", "flow": {"model": "flow"},
+                      "generator": {"model": "generator"},
+                      "discriminator": {"model": "discriminator"},
+                      "vgg": {"model": "vgg"}}
+    del gan_cfg["inference"]
+    gbuilt = create_models(gan_cfg, seed=7)["gan"]
+    gopt = make_optimizer(1e-4)
+    dopt = make_optimizer(1e-4)
+    gp = jax.tree_util.tree_map(jnp.array, gbuilt.params["gen"])
+    dp = jax.tree_util.tree_map(jnp.array, gbuilt.params["discr"])
+    state = GANTrainState(
+        gen_params=gp, discr_params=dp, gen_opt_state=gopt.init(gp),
+        discr_opt_state=dopt.init(dp), ema=gbuilt.obj.init_ema(),
+        step=jnp.zeros((), jnp.int32))
+    ckpt = str(tmp_path / "best.npz")
+    save_checkpoint(ckpt, state.tree())
+
+    out = tmp_path / "data"
+    build_model_set(str(out), models=["model_psp"],
+                    configs={"model_psp": str(cfg_path)},
+                    weights={"model_psp": ckpt}, stablehlo=False)
+    model, params = load_package(str(out / "model_psp"))
+    np.testing.assert_array_equal(
+        np.asarray(params["generator"]["conv_1"]["kernel"],
+                   dtype=np.float32),
+        np.asarray(gbuilt.params["gen"]["generator"]["conv_1"]["kernel"],
+                   dtype=np.float32))
+    from joshupscale_tpu.runtime.engine import Engine
+
+    frame = np.zeros((16, 16, 3), np.uint8)
+    assert Engine(model, params).process(frame).shape == (64, 64, 3)

@@ -25,6 +25,7 @@ tf = pytest.importorskip("tensorflow")
 
 import sys  # noqa: E402
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 REF_TRAINING = "/root/reference/scripts/training"
@@ -273,3 +274,83 @@ def test_adversarial_gating_matches_reference(ref_gan):
             atol=1e-6, err_msg=f"t2={t2} t1={t1}")
     ref_gan.t_balance2_avg.reset_state()
     ref_gan.t_balance1_avg.reset_state()
+
+
+def test_lr_schedules_match_keras_golden():
+    """Our optax-based LR schedules reproduce Keras's OWN schedule
+    classes (the reference builds them via LR_SCHEDULES,
+    models.py:29-33) step for step -- including the piecewise
+    boundary inclusivity (values[0] holds through step ==
+    boundaries[0]) and exponential staircase flooring."""
+    import keras
+
+    from joshupscale_tpu.training.schedules import get_learning_rate
+
+    piecewise_cfg = {"boundaries": [10, 25], "values": [1.0, 0.5, 0.25]}
+    ref_pw = keras.optimizers.schedules.PiecewiseConstantDecay(
+        **piecewise_cfg)
+    ours_pw = get_learning_rate({"name": "piecewise", **piecewise_cfg})
+    for step in range(0, 40):
+        np.testing.assert_allclose(
+            float(ours_pw(step)), float(ref_pw(step)), rtol=0,
+            err_msg=f"piecewise step {step}")
+
+    for staircase in (False, True):
+        exp_cfg = {"initial_learning_rate": 5e-4, "decay_steps": 7,
+                   "decay_rate": 0.5, "staircase": staircase}
+        ref_exp = keras.optimizers.schedules.ExponentialDecay(**exp_cfg)
+        ours_exp = get_learning_rate({"name": "exponential", **exp_cfg})
+        for step in range(0, 30):
+            np.testing.assert_allclose(
+                float(ours_exp(step)), float(ref_exp(step)), rtol=1e-6,
+                err_msg=f"exponential step {step} "
+                        f"staircase={staircase}")
+
+
+def test_early_stopping_epoch_matches_keras_golden():
+    """fit()'s patience rule stops at the same epoch as Keras's OWN
+    EarlyStopping callback (the reference wires it in
+    train_local.py:130-136) for improving-then-flat, worsening, and
+    noisy monitor traces."""
+    import keras
+
+    from joshupscale_tpu.training.trainer import TrainState, fit
+
+    traces = [
+        [5.0, 4.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0],      # flat tail
+        [5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0, 12.0],   # worsening
+        [5.0, 4.5, 4.6, 4.4, 4.7, 4.8, 4.9, 5.0],      # noisy
+        [5.0, 4.0, 3.5, 3.0, 2.5, 2.0, 1.5, 1.0],      # always improves
+    ]
+    for patience in (1, 2, 3):
+        for trace in traces:
+            cb = keras.callbacks.EarlyStopping(
+                monitor="loss", mode="min", patience=patience)
+            cb.set_model(keras.Sequential([keras.layers.Identity()]))
+            cb.model.stop_training = False  # set by fit() normally
+            cb.on_train_begin()
+            keras_epochs = len(trace)
+            for epoch, v in enumerate(trace):
+                cb.on_epoch_end(epoch, {"loss": v})
+                if cb.model.stop_training:
+                    keras_epochs = epoch + 1
+                    break
+
+            vals = iter(trace)
+
+            def step(state, batch, rng, _it=vals):
+                return state, {"loss": jnp.asarray(next(_it))}
+
+            def data():
+                while True:
+                    yield {"input": np.zeros((1,), np.float32)}
+
+            state = TrainState(None, None, jnp.zeros((), jnp.int32))
+            _, hist = fit(
+                step, state, data(), epochs=len(trace),
+                steps_per_epoch=1, rng=jax.random.PRNGKey(0),
+                early_stopping_patience=patience,
+                log_fn=lambda _m: None)
+            assert len(hist) == keras_epochs, (
+                f"patience={patience} trace={trace}: ours "
+                f"{len(hist)} vs keras {keras_epochs}")
