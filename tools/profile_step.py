@@ -21,27 +21,40 @@ import tempfile
 import numpy as np
 
 
-def build_step(height=270, width=480, dtype="bfloat16"):
+def build_step(height=270, width=480, dtype="bfloat16",
+               config_path=None):
     import jax
     import jax.numpy as jnp
 
     from joshupscale_tpu.models import create_models
 
-    config = {
-        "flow": {"name": "flow-resnet", "num_inputs": 4,
-                 "num_filters": 64, "num_res_blocks": 10},
-        "generator": {"name": "generator-resnet", "num_filters": 64,
-                      "num_res_blocks": 24},
-        "inference": {
-            "name": "inference",
-            "generator": {"model": "generator"},
-            "flow": {"model": "flow"},
-            "skip_processing": False,
-            "frame_height": height,
-            "frame_width": width,
-            "compute_dtype": dtype,
-        },
-    }
+    if config_path:
+        # Profile any serving tier (e.g. configs/inference_ps2_style
+        # .yaml); frame dims come from --height/--width.
+        import yaml
+
+        with open(config_path) as f:
+            doc = yaml.safe_load(f)
+        config = doc["models"] if "models" in doc else doc
+        config["inference"] = dict(
+            config["inference"], frame_height=height,
+            frame_width=width)
+    else:
+        config = {
+            "flow": {"name": "flow-resnet", "num_inputs": 4,
+                     "num_filters": 64, "num_res_blocks": 10},
+            "generator": {"name": "generator-resnet",
+                          "num_filters": 64, "num_res_blocks": 24},
+            "inference": {
+                "name": "inference",
+                "generator": {"model": "generator"},
+                "flow": {"model": "flow"},
+                "skip_processing": False,
+                "frame_height": height,
+                "frame_width": width,
+                "compute_dtype": dtype,
+            },
+        }
     models = create_models(config, seed=0)
     built = models["inference"]
     model = built.obj
@@ -100,6 +113,8 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--height", type=int, default=270)
     ap.add_argument("--width", type=int, default=480)
+    ap.add_argument("--config", default=None,
+                    help="serving-tier YAML (default: quality arch)")
     args = ap.parse_args()
 
     import jax
@@ -108,7 +123,8 @@ def main():
     from joshupscale_tpu.runtime.engine import enable_compilation_cache
 
     enable_compilation_cache()
-    clip, params, state, model = build_step(args.height, args.width)
+    clip, params, state, model = build_step(
+        args.height, args.width, config_path=args.config)
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(
         0, 256, (args.frames, 1, args.height, args.width, 3), np.uint8))
