@@ -26,6 +26,7 @@ Usage:
     python tools/latency_probe.py --tier quality --frames 200
     python tools/latency_probe.py --tier fast
     python tools/latency_probe.py --tier ps2
+    python tools/latency_probe.py --tier ps2_fast
 """
 
 import argparse
@@ -63,6 +64,7 @@ QUALITY_CONFIG = {
 TIER_CONFIGS = {
     "fast": "configs/inference_fast.yaml",
     "ps2": "configs/inference_ps2_style.yaml",
+    "ps2_fast": "configs/inference_ps2_fast.yaml",
 }
 
 
@@ -118,7 +120,8 @@ def module_spans(trace_dir):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tier", choices=["quality", "fast", "ps2"],
+    ap.add_argument("--tier",
+                    choices=["quality", "fast", "ps2", "ps2_fast"],
                     default="quality")
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--warmup", type=int, default=8)
